@@ -1,0 +1,36 @@
+"""rustradio_tpu — a TPU-native software-defined-radio framework.
+
+A from-scratch JAX/XLA/Pallas re-imagining of the capability set of
+`rustradio <https://github.com/ThomasHabets/rustradio>`_ (reference mounted at
+/root/reference).  Where the reference runs a dynamic block scheduler over
+mmap'd circular buffers (graph.rs, mtgraph.rs, circular_buffer.rs), this
+framework compiles a whole flowgraph into jitted programs over fixed-size
+sample chunks, carrying all per-block state (filter tails, oscillator phases,
+LFSR registers, clock-recovery state) in a pytree scanned with ``lax.scan``.
+
+Layout:
+
+* :mod:`rustradio_tpu.dtypes` — sample types, parsing helpers
+* :mod:`rustradio_tpu.windows`, :mod:`rustradio_tpu.taps` — filter design
+* :mod:`rustradio_tpu.ops` — pure stream kernels (the DSP math)
+* :mod:`rustradio_tpu.blocks` — stateful block wrappers for graphs
+* :mod:`rustradio_tpu.graph` — flowgraph builder + compilers
+* :mod:`rustradio_tpu.parallel` — mesh / time-shard / channel-shard layer
+* :mod:`rustradio_tpu.io` — file formats and host I/O (au, SigMF, ...)
+* :mod:`rustradio_tpu.models` — full receiver chains (AX.25, FM, ...)
+"""
+
+from . import dtypes, taps, windows
+from .dtypes import Complex, Float, parse_frequency, parse_verbosity
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Complex",
+    "Float",
+    "dtypes",
+    "parse_frequency",
+    "parse_verbosity",
+    "taps",
+    "windows",
+]

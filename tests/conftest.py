@@ -1,0 +1,16 @@
+"""Test configuration: force a virtual 8-device CPU mesh.
+
+Tests run on CPU so they are fast and deterministic; multi-chip sharding
+logic is exercised on 8 virtual devices (the driver separately dry-runs the
+multi-chip path).  Must run before jax initializes its backends.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
