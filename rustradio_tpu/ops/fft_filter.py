@@ -1,0 +1,88 @@
+"""FFT fast convolution (overlap-save on TPU).
+
+The reference implements overlap-ADD with fft_size = 2*next_pow2(ntaps)
+(src/fft_filter.rs:36-42), taps pre-FFT'd with 1/N normalization folded in
+(:151-161), tail carried between rounds (:336-348).  Its stream output is
+the full zero-history convolution ``y[n] = sum_k taps[k] x[n-k]``.
+
+On TPU, overlap-SAVE maps better: one batched FFT over a reshaped
+(nblocks, fft_size) array, pointwise multiply with the tap spectrum,
+batched IFFT, then a static slice — no scatter-add dependency chain between
+blocks, so every block is independent and the whole thing is one big
+batched kernel.  The fft_size is auto-tuned to a few times the tap count
+(bounded at 32768) rather than the reference's fixed 2*next_pow2.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _pick_fft_size(ntaps: int, n: int) -> int:
+    """Pick an FFT size: at least 2*next_pow2(ntaps) like the reference,
+    but grow up to 32768 while it reduces total work for large inputs."""
+    base = 2 * _next_pow2(ntaps)
+    best = base
+    size = base
+    while size < 32768 and size * 2 - (ntaps - 1) < n:
+        size *= 2
+        best = size
+    return best
+
+
+def overlap_save_frames(x, overlap: int, hop: int):
+    """Frame x (left-padded with `overlap` zeros) into overlapping windows of
+    length overlap+hop with the given hop, using only reshapes/slices (no
+    gather).  Requires overlap <= hop.  Returns (frames, nblocks)."""
+    n = x.shape[0]
+    nblocks = -(-n // hop)
+    total = nblocks * hop
+    xp = jnp.pad(x, (overlap, total + overlap - n))
+    # xp layout: [zeros(overlap) | x | pad]; frame b = xp[b*hop : b*hop+fft]
+    rows = xp[:total].reshape(nblocks, hop)  # first hop samples of each frame
+    heads = jnp.concatenate(
+        [rows[1:, :overlap], xp[total : total + overlap][None, :]], axis=0
+    )  # trailing overlap samples of each frame
+    frames = jnp.concatenate([rows, heads], axis=1)
+    return frames, nblocks
+
+
+def fft_filter(x, taps, fft_size: int | None = None):
+    """Full zero-history convolution via overlap-save batched FFT.
+
+    y[n] = sum_k taps[k] * x[n-k], x[<0] = 0; len(y) == len(x).
+    Matches reference FftFilter output (src/fft_filter.rs:289-354) to
+    float32 FFT accuracy.
+    """
+    x = jnp.asarray(x)
+    taps = np.asarray(taps)
+    n = x.shape[0]
+    ntaps = len(taps)
+    overlap = ntaps - 1
+    if fft_size is None:
+        fft_size = _pick_fft_size(ntaps, n)
+    hop = fft_size - overlap
+    frames, _ = overlap_save_frames(x, overlap, hop)
+    taps_fft = jnp.asarray(
+        np.fft.fft(np.asarray(taps, np.complex128), fft_size).astype(np.complex64)
+    )
+    spec = jnp.fft.fft(frames.astype(jnp.complex64), axis=-1)
+    conv = jnp.fft.ifft(spec * taps_fft[None, :], axis=-1)
+    # Valid region of each frame: the last `hop` samples.
+    y = conv[:, overlap:].reshape(-1)[:n]
+    return y
+
+
+def fft_filter_float(x, taps, fft_size: int | None = None):
+    """Float-in/float-out FFT filter (reference FftFilterFloat,
+    src/fft_filter.rs:357-491, which runs the complex filter and takes re)."""
+    y = fft_filter(jnp.asarray(x, jnp.float32).astype(jnp.complex64), taps, fft_size)
+    return jnp.real(y)

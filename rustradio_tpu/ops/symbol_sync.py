@@ -1,0 +1,179 @@
+"""Clock recovery (symbol synchronization).
+
+``symbol_sync`` is a faithful f32 port of the reference's SymbolSync block
+(src/symbol_sync.rs:115-218): zero-crossing TED plus a clamped IIR clock
+filter (src/iir_filter.rs:104-125), emitting the center sample of each
+symbol.  It is an inherently sequential per-sample recurrence, so it runs
+as a ``lax.scan`` — sequential within a stream, but vmap-able across
+channels/bursts.  For burst traffic prefer :mod:`rustradio_tpu.ops.wpcr`,
+which is batch-FFT based and TPU-native.
+
+``zero_crossing_sync`` ports the simpler fixed-clock variant
+(src/zero_crossing.rs).
+
+Because output density is data-dependent, both return ``(values, mask)``
+arrays of the input length; compact with ``mask`` (host-side or via
+masked-stream downstream ops).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+F = jnp.float32
+
+
+def symbol_sync(
+    x,
+    sps: float,
+    max_deviation: float = 0.5,
+    clock_taps=(0.5, 0.5),
+    state=None,
+):
+    """Returns ((values, mask, clocks), final_state).
+
+    ``values[i]``/``clocks[i]`` are meaningful where ``mask[i]``;
+    clocks carries the recovered clock (sps) at each emission, matching the
+    reference's optional out_clock stream (src/symbol_sync.rs:100-113).
+    """
+    if not sps > 1.0:
+        raise ValueError("sps must be > 1")
+    x = jnp.asarray(x, F)
+    taps = np.asarray(clock_taps, np.float32)
+    order = len(taps) - 1
+    sps32 = F(np.float32(sps))
+    mi = F(np.float32(sps) - np.float32(max_deviation))
+    mx = F(np.float32(sps) + np.float32(max_deviation))
+
+    if state is None:
+        state = dict(
+            clock=sps32,
+            last_sign=jnp.asarray(False),
+            stream_pos=F(0.0),
+            last_sym_boundary_pos=F(0.0),
+            next_sym_middle=F(np.float32(sps) / np.float32(2.0)),
+            # clock filter history, newest first, pre-filled with sps
+            # (SymbolSync::new calls clock_filter.fill(sps),
+            #  src/symbol_sync.rs:78)
+            fbuf=jnp.full((max(order, 1),), sps32, F),
+        )
+
+    tap0 = F(taps[0])
+    fb = jnp.asarray(taps[1:], F)  # multiplies history newest-first
+
+    def clock_filter_clamped(fbuf, sample, lo, hi):
+        # reference src/iir_filter.rs:113-124
+        ret = tap0 * sample
+        if order > 0:
+            ret = ret + jnp.dot(fb, fbuf)
+        ret = jnp.clip(ret, lo, hi)
+        if order > 0:
+            fbuf = jnp.concatenate([ret[None], fbuf[:-1]])
+        return fbuf, ret
+
+    def step(s, sample):
+        emit = s["stream_pos"] >= s["next_sym_middle"]
+        next_mid = jnp.where(emit, s["next_sym_middle"] + s["clock"], s["next_sym_middle"])
+        out_val = sample
+        out_clk = s["clock"]
+
+        sign = sample > F(0.0)
+        changed = sign != s["last_sign"]
+        do_adjust = changed & (s["stream_pos"] > F(0.0)) & (
+            s["last_sym_boundary_pos"] > F(0.0)
+        )
+
+        # while t > mx { t2 = t - clock; if |t-clock| < |t2-clock| break; t=t2 }
+        def wcond(t):
+            t2 = t - s["clock"]
+            keep = jnp.abs(t - s["clock"]) >= jnp.abs(t2 - s["clock"])
+            return (t > mx) & keep
+
+        t0 = s["stream_pos"] - s["last_sym_boundary_pos"]
+        t = jax.lax.while_loop(wcond, lambda t: t - s["clock"], t0)
+        in_range = (t > mi * F(0.8)) & (t < mx * F(1.2))
+        apply = do_adjust & in_range
+
+        fbuf2, filt = clock_filter_clamped(
+            s["fbuf"], t - sps32, mi - sps32, mx - sps32
+        )
+        new_clock = filt + sps32
+        # next_sym_middle = last_boundary + clock/2, bumped above stream_pos
+        nm0 = s["last_sym_boundary_pos"] + new_clock / F(2.0)
+        nm = jax.lax.while_loop(
+            lambda v: v < s["stream_pos"], lambda v: v + new_clock, nm0
+        )
+
+        clock = jnp.where(apply, new_clock, s["clock"])
+        next_mid = jnp.where(apply, nm, next_mid)
+        fbuf = jnp.where(apply, fbuf2, s["fbuf"])
+
+        last_boundary = jnp.where(changed, s["stream_pos"], s["last_sym_boundary_pos"])
+        last_sign = jnp.where(changed, sign, s["last_sign"])
+
+        pos = s["stream_pos"] + F(1.0)
+        # Stay near zero for float precision (src/symbol_sync.rs:200-209)
+        step_back = F(10.0) * clock
+        do_sb = (pos > step_back) & (last_boundary > step_back) & (next_mid > step_back)
+        pos = jnp.where(do_sb, pos - step_back, pos)
+        last_boundary = jnp.where(do_sb, last_boundary - step_back, last_boundary)
+        next_mid = jnp.where(do_sb, next_mid - step_back, next_mid)
+
+        s = dict(
+            clock=clock,
+            last_sign=last_sign,
+            stream_pos=pos,
+            last_sym_boundary_pos=last_boundary,
+            next_sym_middle=next_mid,
+            fbuf=fbuf,
+        )
+        return s, (out_val, emit, out_clk)
+
+    final, (vals, mask, clks) = jax.lax.scan(step, state, x)
+    return (vals, mask, clks), final
+
+
+def zero_crossing_sync(x, sps: float, max_deviation: float = 0.5, state=None):
+    """Fixed-clock zero-crossing recovery (src/zero_crossing.rs:26-150).
+
+    Emits the sample at sps/2 past each zero crossing, then every sps.
+    Returns ((values, mask), final_state).
+    """
+    if not sps > 1.0:
+        raise ValueError("sps must be > 1")
+    x = jnp.asarray(x, F)
+    sps32 = F(np.float32(sps))
+    if state is None:
+        state = dict(
+            last_sign=jnp.asarray(False),
+            last_cross=F(0.0),
+            counter=jnp.uint32(0),
+        )
+
+    def step(s, sample):
+        # reference: if counter == (last_cross + clock/2) as u64 { emit }
+        emit = s["counter"] == (s["last_cross"] + sps32 / F(2.0)).astype(jnp.uint32)
+        last_cross = jnp.where(emit, s["last_cross"] + sps32, s["last_cross"])
+        sign = sample > F(0.0)
+        changed = sign != s["last_sign"]
+        last_cross = jnp.where(changed, jnp.asarray(s["counter"], F), last_cross)
+        counter = s["counter"] + jnp.uint32(1)
+        # step-back to preserve float precision (src/zero_crossing.rs:133-137)
+        step_back = (F(10.0) * sps32).astype(jnp.uint32)
+        do_sb = (counter > step_back) & (last_cross.astype(jnp.uint32) > step_back)
+        counter = jnp.where(do_sb, counter - step_back, counter)
+        last_cross = jnp.where(do_sb, last_cross - jnp.asarray(step_back, F), last_cross)
+        s = dict(last_sign=sign, last_cross=last_cross, counter=counter)
+        return s, (sample, emit)
+
+    final, (vals, mask) = jax.lax.scan(step, state, x)
+    return (vals, mask), final
+
+
+def compact(values, mask):
+    """Host helper: gather emitted symbols from a masked stream."""
+    values = np.asarray(values)
+    mask = np.asarray(mask)
+    return values[mask]

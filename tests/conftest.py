@@ -7,10 +7,17 @@ multi-chip path).  Must run before jax initializes its backends.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pins JAX_PLATFORMS=axon (the TPU tunnel); tests always run
+# on CPU, so override rather than setdefault.  The axon plugin ignores the
+# env var, so also force it through jax.config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
