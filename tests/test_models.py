@@ -1,0 +1,163 @@
+"""End-to-end receiver chains.
+
+The flagship gate: the AX.25 1200 bd Bell-202 chain decodes synthetic AFSK
+bit-exactly, and on the reference's real-world capture
+(/root/reference/testdata/aprs.au) recovers the same structural frame the
+reference chain can.  Note on aprs.au: it contains exactly one weak APRS
+transmission (KOESTW-15>APLG01, a LoRa iGate beacon) whose body carries
+several bit errors — more than the single-bitflip repair either framework
+implements — so with CRC enforcement both decode 0 frames from it; with
+keep_checksum the frame is recovered structurally.  (The reference's 909-
+frame integration gate uses the WA8LMF CD track, which is not checked in:
+reference tests/ax25-decode.rs:61-69.)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from rustradio_tpu import ops
+from rustradio_tpu.io import au
+from rustradio_tpu.models import ax25_1200_rx, bell202_demod
+from rustradio_tpu.models.ax25 import ax25_9600_wpcr_rx, parse_ax25
+
+APRS_AU = "/root/reference/testdata/aprs.au"
+
+
+def make_afsk(payload: bytes, fs: float = 44100.0, baud: float = 1200.0,
+              amp: float = 0.5, lead_zeros: int = 2000) -> np.ndarray:
+    """Synthesize Bell-202 AFSK audio for an AX.25 payload."""
+    framed = ops.hdlc_frame(ops.fcs_add(np.frombuffer(payload, np.uint8)))
+    line = np.asarray(ops.nrzi_encode(framed))
+    sps = fs / baud
+    n = int(len(line) * sps)
+    bit_at = np.minimum((np.arange(n) / sps).astype(int), len(line) - 1)
+    freqs = np.where(line[bit_at] == 1, 1200.0, 2200.0)
+    phase = np.cumsum(2 * np.pi * freqs / fs)
+    audio = (amp * np.sin(phase)).astype(np.float32)
+    z = np.zeros(lead_zeros, np.float32)
+    return np.concatenate([z, audio, z])
+
+
+def test_ax25_1200_synthetic_bitexact():
+    payload = b"APRS TEST PACKET 0123456789 the quick brown fox"
+    pkts = ax25_1200_rx(make_afsk(payload), 44100.0)
+    assert len(pkts) == 1
+    assert bytes(pkts[0]) == payload
+
+
+def test_ax25_1200_multiple_frames():
+    p1, p2 = b"FRAME ONE PAYLOAD!", b"FRAME TWO DIFFERENT CONTENT"
+    audio = np.concatenate([make_afsk(p1), make_afsk(p2)])
+    pkts = ax25_1200_rx(audio, 44100.0)
+    assert [bytes(p) for p in pkts] == [p1, p2]
+
+
+def test_ax25_1200_with_noise():
+    rng = np.random.RandomState(42)
+    payload = b"NOISY CHANNEL FRAME"
+    audio = make_afsk(payload, amp=0.5)
+    audio = audio + rng.randn(len(audio)).astype(np.float32) * 0.05
+    pkts = ax25_1200_rx(audio, 44100.0)
+    assert [bytes(p) for p in pkts] == [payload]
+
+
+def test_ax25_1200_iq_input():
+    from rustradio_tpu.models.ax25 import ax25_1200_rx_iq
+
+    payload = b"VIA IQ FM CARRIER"
+    audio = make_afsk(payload, fs=50_000.0)
+    # FM-modulate the audio onto a carrier at 50 ksps IQ
+    iq, _ = ops.vco(audio * 0.3, k=2 * np.pi * 3500.0 / 50_000.0)
+    # reference VCO emits i*e^{-i phi}: demod sign flips, so negate audio
+    iq = np.conj(np.asarray(iq))
+    pkts = ax25_1200_rx_iq(iq, 50_000.0)
+    assert [bytes(p) for p in pkts] == [payload]
+
+
+@pytest.mark.skipif(not os.path.exists(APRS_AU), reason="reference testdata absent")
+def test_aprs_au_structural_recovery():
+    audio, rate = au.au_read(APRS_AU, 44100)
+    assert rate == 44100 and len(audio) == 132639
+    nrz = np.asarray(bell202_demod(audio, float(rate)))
+    (vals, mask, _), _ = ops.symbol_sync(nrz, rate / 1200.0, 0.5, [0.5, 0.5])
+    syms = np.asarray(vals)[np.asarray(mask)]
+    bits = np.asarray(ops.nrzi_decode(ops.binary_slicer(syms)))
+    # The transmission's closing flag train must be found.
+    s = "".join(map(str, bits))
+    assert "0111111001111110" in s
+    # With CRC enforcement the damaged frame is rejected (same as reference).
+    pkts, stats = ops.hdlc_deframe(bits, 10, 1500, fix_bits=True)
+    assert stats["decoded"] == 0
+
+
+@pytest.mark.skipif(not os.path.exists(APRS_AU), reason="reference testdata absent")
+def test_aprs_au_tone_correlator_recovers_frame():
+    # A dual-tone-correlator front-end (beyond the reference's chain)
+    # recovers the KOESTW-15 beacon structurally.
+    audio, rate = au.au_read(APRS_AU, 44100)
+    fs = float(rate)
+    n = np.arange(len(audio))
+    w = int(fs / 1200)
+    k = np.ones(w) / w
+
+    def tone_energy(f):
+        mixed = audio * np.exp(-2j * np.pi * f / fs * n)
+        return (
+            np.convolve(mixed.real, k, "same") ** 2
+            + np.convolve(mixed.imag, k, "same") ** 2
+        )
+
+    e_m, e_s = tone_energy(1200.0), tone_energy(2200.0)
+    nrz = ((e_s - e_m) / (e_s + e_m + 1e-9)).astype(np.float32)
+    (vals, mask, _), _ = ops.symbol_sync(nrz, fs / 1200.0, 0.5, [0.5, 0.5])
+    syms = np.asarray(vals)[np.asarray(mask)]
+    bits = np.asarray(ops.nrzi_decode(ops.binary_slicer(syms)))
+    pkts, stats = ops.hdlc_deframe(bits, 10, 1500, keep_checksum=True)
+    assert stats["decoded"] == 1
+    frame = pkts[0][0]
+    addrs, info = parse_ax25(frame[:-2])
+    assert addrs[0].startswith("APNL51") or addrs[0].startswith("APLG")
+    assert b"KOESTW" in bytes(frame)
+
+
+def test_ax25_9600_wpcr_synthetic():
+    fs = 50_000.0
+    baud = 9600.0
+    payload = b"G3RUH 9600 BAUD TEST FRAME"
+    framed = ops.hdlc_frame(ops.fcs_add(np.frombuffer(payload, np.uint8)))
+    # pad so the scrambler seed flushes through
+    framed = np.concatenate([framed, np.zeros(17, np.uint8)])
+    line = np.asarray(ops.nrzi_encode(framed))
+    scrambled, _ = ops.scramble(line)
+    scrambled = np.asarray(scrambled)
+    sps = fs / baud
+    nsamp = int(len(scrambled) * sps)
+    bit_at = np.minimum((np.arange(nsamp) / sps).astype(int), len(scrambled) - 1)
+    nrz = (scrambled[bit_at].astype(np.float32) * 2 - 1)
+    # FM modulate at +/- 3 kHz deviation
+    iq, _ = ops.vco(nrz * 0.5, k=2 * np.pi * 6000.0 / fs)
+    iq = np.conj(np.asarray(iq))  # match demod sign
+    lead = np.zeros(3000, np.complex64)
+    iq = np.concatenate([lead, iq, lead]) + (
+        np.random.RandomState(0).randn(nsamp + 6000) * 0.001
+    ).astype(np.complex64)
+    pkts = ax25_9600_wpcr_rx(iq, fs, new_rate=fs, threshold=0.01, tail=50)
+    assert any(bytes(p) == payload for p in pkts), [bytes(p) for p in pkts]
+
+
+def test_parse_ax25():
+    # build a minimal UI frame: dest "APRS  -0", src "N0CALL-1", ctrl, pid, info
+    def addr(call, ssid, last):
+        b = [ord(c) << 1 for c in call.ljust(6)]
+        b.append((ssid << 1) | 0x60 | (1 if last else 0))
+        return b
+
+    frame = np.asarray(
+        addr("APRS", 0, False) + addr("N0CALL", 1, True) + [0x03, 0xF0] + list(b"hello"),
+        np.uint8,
+    )
+    addrs, info = parse_ax25(frame)
+    assert addrs == ["APRS", "N0CALL-1"]
+    assert info == b"hello"
