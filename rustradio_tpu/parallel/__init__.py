@@ -1,0 +1,29 @@
+"""Multi-chip execution: mesh construction, halo exchange, sharded chains.
+
+The reference's only inter-worker transport is an mmap'd SPSC ring buffer
+plus TCP (SURVEY §2.7).  Here the equivalents are XLA collectives over a
+``jax.sharding.Mesh``: the *time axis* of a stream is sharded across chips,
+and filter history ("sequence-dimension chunking" in the reference —
+src/fft_filter.rs:336-348, src/fir.rs:493-505) becomes a left-halo exchange
+via ``ppermute`` riding ICI.
+"""
+
+from .mesh import make_mesh, time_axis_spec
+from .halo import halo_exchange_left, halo_exchange_right
+from .sharded import (
+    sharded_fft_filter,
+    sharded_fir_filter,
+    sharded_fm_demod,
+    sharded_quadrature_demod,
+)
+
+__all__ = [
+    "halo_exchange_left",
+    "halo_exchange_right",
+    "make_mesh",
+    "sharded_fft_filter",
+    "sharded_fir_filter",
+    "sharded_fm_demod",
+    "sharded_quadrature_demod",
+    "time_axis_spec",
+]

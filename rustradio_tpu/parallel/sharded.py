@@ -1,0 +1,115 @@
+"""Time-sharded stream kernels: the multi-chip dense pipeline.
+
+Each function is semantically identical to its offline counterpart in
+:mod:`rustradio_tpu.ops` applied to the *global* stream, but executes with
+the sample axis sharded over a mesh axis, exchanging filter halos between
+neighbouring shards over ICI instead of carrying host-side state.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..ops.fir import _conv1d
+from ..ops.fft_filter import fft_filter as _fft_filter
+from .halo import halo_exchange_left, halo_exchange_right
+
+
+def _shmap(mesh, axis, f, nout=1):
+    return shard_map(
+        f,
+        mesh=mesh,
+        in_specs=(P(axis),),
+        out_specs=P(axis) if nout == 1 else tuple(P(axis) for _ in range(nout)),
+    )
+
+
+def sharded_fir_filter(x, taps, mesh, deci: int = 1, axis: str = "time"):
+    """fir_filter_full semantics (y[m] = sum_j taps[j] x[m*deci-j]) with the
+    time axis sharded.  Shard length must be divisible by deci."""
+    taps = np.asarray(taps)
+    ntaps = len(taps)
+    n_sh = mesh.shape[axis]
+    n = x.shape[0]
+    if n % (n_sh * deci):
+        raise ValueError(f"stream length {n} not divisible by shards*deci")
+
+    def body(xs):
+        ext = halo_exchange_left(xs, ntaps - 1, axis)
+        # full conv grid: y[m] = sum taps[j] ext[(ntaps-1) + m*deci - j]
+        y = _conv1d(ext, taps, stride=deci, pad_left=0)
+        return y[: xs.shape[0] // deci]
+
+    return _shmap(mesh, axis, body)(x)
+
+
+def sharded_fft_filter(x, taps, mesh, axis: str = "time", fft_size: int | None = None):
+    """Overlap-save FFT filter with the time axis sharded; halo over ICI."""
+    taps = np.asarray(taps)
+    ntaps = len(taps)
+    n_sh = mesh.shape[axis]
+    shard_len = x.shape[0] // n_sh
+
+    def body(xs):
+        ext = halo_exchange_left(xs, ntaps - 1, axis)
+        # Within the shard run overlap-save over `ext`, emitting outputs for
+        # the local region only (drop the first ntaps-1 "halo" outputs).
+        y = _fft_filter(ext, taps, fft_size)
+        return jax.lax.dynamic_slice_in_dim(y, ntaps - 1, xs.shape[0])
+
+    del shard_len
+    return _shmap(mesh, axis, body)(x)
+
+
+def sharded_quadrature_demod(x, gain, mesh, axis: str = "time"):
+    """Quadrature demod over a sharded stream: 1-sample right halo.
+
+    Output has the same global length as the input; the final global sample
+    is 0 (the offline op emits N-1 samples — callers drop the last one).
+    """
+
+    def body(xs):
+        ext = halo_exchange_right(xs, 1, axis, fill=0)
+        d = jnp.conj(ext[:-1]) * ext[1:]
+        return jnp.float32(gain) * jnp.arctan2(
+            jnp.imag(d).astype(jnp.float32), jnp.real(d).astype(jnp.float32)
+        )
+
+    return _shmap(mesh, axis, body)(x)
+
+
+def sharded_fm_demod(
+    iq,
+    taps,
+    mesh,
+    deci: int = 1,
+    gain: float = 1.0,
+    axis: str = "time",
+    fft_size: int | None = None,
+):
+    """The headline chain — FFT low-pass + decimate + FM demod — fused into
+    ONE shard_map (one jit program, halos exchanged once per stream)."""
+    taps = np.asarray(taps)
+    ntaps = len(taps)
+    n_sh = mesh.shape[axis]
+    n = iq.shape[0]
+    if n % (n_sh * deci):
+        raise ValueError(f"stream length {n} not divisible by shards*deci")
+
+    def body(xs):
+        ext = halo_exchange_left(xs, ntaps - 1, axis)
+        y = _fft_filter(ext, taps, fft_size)[ntaps - 1 :]
+        y = y[::deci]
+        ext2 = halo_exchange_right(y, 1, axis, fill=0)
+        d = jnp.conj(ext2[:-1]) * ext2[1:]
+        return jnp.float32(gain) * jnp.arctan2(
+            jnp.imag(d).astype(jnp.float32), jnp.real(d).astype(jnp.float32)
+        )
+
+    return _shmap(mesh, axis, body)(iq)

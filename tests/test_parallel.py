@@ -1,0 +1,88 @@
+"""Sharded kernels == offline kernels, on an 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rustradio_tpu import ops
+from rustradio_tpu.parallel import (
+    make_mesh,
+    sharded_fft_filter,
+    sharded_fir_filter,
+    sharded_fm_demod,
+    sharded_quadrature_demod,
+)
+
+N_DEV = 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= N_DEV, "conftest should force 8 CPU devices"
+    return make_mesh(N_DEV)
+
+
+def test_sharded_fir_matches_offline(mesh):
+    rng = np.random.RandomState(0)
+    x = (rng.randn(8 * 512) + 1j * rng.randn(8 * 512)).astype(np.complex64)
+    taps = (rng.randn(33)).astype(np.float32).astype(np.complex64)
+    got = np.asarray(sharded_fir_filter(jnp.asarray(x), taps, mesh))
+    want = np.asarray(ops.fir_filter_full(x, taps))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_sharded_fir_decimating(mesh):
+    rng = np.random.RandomState(1)
+    x = rng.randn(8 * 512).astype(np.float32)
+    taps = rng.randn(17).astype(np.float32)
+    got = np.asarray(sharded_fir_filter(jnp.asarray(x), taps, mesh, deci=4))
+    want = np.asarray(ops.fir_filter_full(x, taps, deci=4))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_sharded_fft_filter_matches_offline(mesh):
+    rng = np.random.RandomState(2)
+    x = (rng.randn(8 * 1024) + 1j * rng.randn(8 * 1024)).astype(np.complex64)
+    taps = (rng.randn(63) + 1j * rng.randn(63)).astype(np.complex64)
+    got = np.asarray(sharded_fft_filter(jnp.asarray(x), taps, mesh))
+    want = np.asarray(ops.fft_filter(x, taps))
+    np.testing.assert_allclose(got, want, atol=3e-3)
+
+
+def test_sharded_quad_demod_matches_offline(mesh):
+    rng = np.random.RandomState(3)
+    x = (rng.randn(8 * 256) + 1j * rng.randn(8 * 256)).astype(np.complex64)
+    got = np.asarray(sharded_quadrature_demod(jnp.asarray(x), 0.7, mesh))
+    want = np.asarray(ops.quadrature_demod(x, 0.7))
+    np.testing.assert_allclose(got[:-1], want, atol=1e-5)
+
+
+def test_sharded_fm_demod_chain(mesh):
+    from rustradio_tpu import taps as tg
+
+    rng = np.random.RandomState(4)
+    n = 8 * 2048
+    x = (rng.randn(n) + 1j * rng.randn(n)).astype(np.complex64)
+    taps = tg.low_pass_complex(1_024_000.0, 100_000.0, 50_000.0)
+    deci = 4
+    got = np.asarray(sharded_fm_demod(jnp.asarray(x), taps, mesh, deci=deci, gain=1.0))
+    want_f = np.asarray(ops.fft_filter(x, taps))[::deci]
+    want = np.asarray(ops.quadrature_demod(want_f, 1.0))
+    np.testing.assert_allclose(got[:-1], want, atol=1e-3)
+
+
+def test_sharded_fm_demod_under_jit(mesh):
+    # The whole sharded chain must compile as one program.
+    from rustradio_tpu import taps as tg
+
+    taps = tg.low_pass_complex(1_024_000.0, 100_000.0, 50_000.0)
+    f = jax.jit(lambda x: sharded_fm_demod(x, taps, mesh, deci=4))
+    x = jnp.ones(8 * 4096, jnp.complex64)
+    out = f(x)
+    assert out.shape == (8 * 4096 // 4,)
+
+
+def test_rejects_misaligned_length(mesh):
+    with pytest.raises(ValueError, match="not divisible"):
+        sharded_fir_filter(jnp.ones(100, jnp.complex64), np.ones(3), mesh, deci=4)
