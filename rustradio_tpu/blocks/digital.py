@@ -1,0 +1,183 @@
+"""Bit-level digital blocks: NRZI, scrambling, correlation, clock recovery."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from ..streams import Tag
+from .base import Block
+
+
+class NrziDecode(Block):
+    def apply(self, x):
+        return ops.nrzi_decode(x)
+
+    def init_state(self):
+        return jnp.uint8(0)
+
+    def apply_chunk(self, state, x):
+        x = jnp.asarray(x, jnp.uint8)
+        y = ops.nrzi_decode(x, last=state)
+        return x[-1], y
+
+
+class NrziEncode(Block):
+    def apply(self, x):
+        return ops.nrzi_encode(x)
+
+    def init_state(self):
+        return jnp.uint8(0)
+
+    def apply_chunk(self, state, x):
+        y = ops.nrzi_encode(x, out0=state)
+        return y[-1], y
+
+
+class Descrambler(Block):
+    """Feed-forward LFSR descramble (reference src/descrambler.rs)."""
+
+    def __init__(self, mask: int = 0x21, seed: int = 0, length: int = 16):
+        self.mask, self.length = mask, length
+        # seed affects only the first length+1 outputs; reference notes seed
+        # is irrelevant in practice (src/descrambler.rs:3-5); we honor 0.
+
+    @classmethod
+    def g3ruh(cls):
+        return cls(0x21, 0, 16)
+
+    def apply(self, x):
+        return ops.descramble(x, self.mask, self.length)
+
+    def init_state(self):
+        return jnp.zeros(self.length + 1, jnp.uint8)
+
+    def apply_chunk(self, state, x):
+        x = jnp.asarray(x, jnp.uint8)
+        y = ops.descramble(x, self.mask, self.length, history=state)
+        ext = jnp.concatenate([state, x])
+        return ext[-(self.length + 1) :], y
+
+
+class Scrambler(Block):
+    """LFSR scramble (reference src/descrambler.rs:39-45)."""
+
+    def __init__(self, mask: int = 0x21, seed: int = 0, length: int = 16):
+        self.mask, self.seed, self.length = mask, seed, length
+
+    @classmethod
+    def g3ruh(cls):
+        return cls(0x21, 0, 16)
+
+    def apply(self, x):
+        y, _ = ops.scramble(x, self.mask, self.length, self.seed)
+        return y
+
+    def init_state(self):
+        return jnp.asarray(
+            [(self.seed >> j) & 1 for j in range(self.length + 1)], jnp.uint8
+        )
+
+    def apply_chunk(self, state, x):
+        y, s = ops.scramble(x, self.mask, self.length, state=state)
+        return s, y
+
+
+class CorrelateAccessCode(Block):
+    """1 on access-code match (reference src/correlate_access_code.rs)."""
+
+    def __init__(self, code, allowed_diffs: int = 0):
+        self.code = np.asarray(code, np.uint8)
+        if self.code.size == 0:
+            raise ValueError("access code must be nonempty")
+        self.allowed_diffs = allowed_diffs
+
+    def apply(self, x):
+        return ops.correlate_access_code(x, self.code, self.allowed_diffs)
+
+    def init_state(self):
+        return jnp.zeros(len(self.code) - 1, jnp.uint8) if len(self.code) > 1 else None
+
+    def apply_chunk(self, state, x):
+        if state is None:
+            return None, self.apply(x)
+        x = jnp.asarray(x, jnp.uint8)
+        ext = jnp.concatenate([state, x])
+        y = ops.correlate_access_code(ext, self.code, self.allowed_diffs)
+        return ext[-(len(self.code) - 1) :], y[len(self.code) - 1 :]
+
+
+class CorrelateAccessCodeTag(CorrelateAccessCode):
+    """Tags match positions instead of producing a bit stream; passes data
+    through (reference CorrelateAccessCodeTag)."""
+
+    domain = "host"
+
+    def __init__(self, code, tag: str = "sync", allowed_diffs: int = 0):
+        super().__init__(code, allowed_diffs)
+        self.tag = tag
+
+    def apply(self, x):
+        self._match = np.asarray(super().apply(x))
+        return x
+
+    def process_tags(self, in_tags, out_lens):
+        base = list(in_tags[0]) if in_tags else []
+        for pos in np.flatnonzero(self._match):
+            base.append(Tag(int(pos), self.tag, 0))
+        return [sorted(base)]
+
+
+class SymbolSync(Block):
+    """Zero-crossing TED clock recovery (reference src/symbol_sync.rs).
+
+    Output length is data-dependent: the device scan produces a masked
+    stream that is compacted at the host boundary, so this is a host-domain
+    block whose inner math runs jitted.
+    """
+
+    domain = "host"
+
+    def __init__(self, sps: float, max_deviation: float = 0.5, clock_taps=(0.5, 0.5)):
+        self.sps = sps
+        self.max_deviation = max_deviation
+        self.clock_taps = tuple(clock_taps)
+        self._state = None
+
+    def init_state(self):
+        self._state = None
+        return None
+
+    def apply(self, x):
+        (vals, mask, _), self._state = ops.symbol_sync(
+            x, self.sps, self.max_deviation, self.clock_taps, state=self._state
+        )
+        return jnp.asarray(np.asarray(vals)[np.asarray(mask)])
+
+    def apply_chunk(self, state, x):
+        return None, self.apply(x)
+
+
+class ZeroCrossing(Block):
+    """Fixed-clock zero-crossing recovery (reference src/zero_crossing.rs)."""
+
+    domain = "host"
+
+    def __init__(self, sps: float, max_deviation: float = 0.5):
+        self.sps = sps
+        self.max_deviation = max_deviation
+        self._state = None
+
+    def init_state(self):
+        self._state = None
+        return None
+
+    def apply(self, x):
+        (vals, mask), self._state = ops.zero_crossing_sync(
+            x, self.sps, self.max_deviation, state=self._state
+        )
+        return jnp.asarray(np.asarray(vals)[np.asarray(mask)])
+
+    def apply_chunk(self, state, x):
+        return None, self.apply(x)

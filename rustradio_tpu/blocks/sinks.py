@@ -1,0 +1,84 @@
+"""Sink blocks (reference src/vector_sink.rs, file_sink.rs, null_sink.rs,
+debug_sink.rs)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..io import rawfile
+from ..streams import Tag
+from .base import Block
+
+
+class VectorSink(Block):
+    """Collects samples + tags; the main test sink
+    (reference src/vector_sink.rs:18-58)."""
+
+    n_out = 0
+    domain = "host"
+
+    def __init__(self):
+        self._chunks: list[np.ndarray] = []
+        self._tags: list[Tag] = []
+        self._pos = 0
+
+    def apply(self, x):
+        self._chunks.append(np.asarray(x))
+        self._pos += len(self._chunks[-1])
+        return ()
+
+    def accept_tags(self, tags: list[Tag], offset: int):
+        self._tags.extend(Tag(t.pos + offset, t.key, t.val) for t in tags)
+
+    def data(self) -> np.ndarray:
+        if not self._chunks:
+            return np.zeros(0)
+        return np.concatenate(self._chunks)
+
+    def tags(self) -> list[Tag]:
+        return sorted(self._tags)
+
+
+class NullSink(Block):
+    n_out = 0
+    domain = "host"
+
+    def apply(self, x):
+        return ()
+
+
+class DebugSink(Block):
+    """Prints samples (reference src/debug_sink.rs)."""
+
+    n_out = 0
+    domain = "host"
+
+    def __init__(self, limit: int = 32):
+        self.limit = limit
+
+    def apply(self, x):
+        arr = np.asarray(x)
+        for v in arr[: self.limit]:
+            print(f"debug: {v}")
+        if len(arr) > self.limit:
+            print(f"debug: ... {len(arr) - self.limit} more")
+        return ()
+
+
+class FileSink(Block):
+    """Raw sample file sink (reference src/file_sink.rs; Mode::{Create,
+    Overwrite,Append} maps to 'xb'/'wb'/'ab')."""
+
+    n_out = 0
+    domain = "host"
+
+    def __init__(self, path: str, mode: str = "overwrite"):
+        self.path = path
+        self.mode = {"create": "xb", "overwrite": "wb", "append": "ab"}[mode]
+        self._first = True
+
+    def apply(self, x):
+        m = self.mode if self._first else "ab"
+        rawfile.write_samples(self.path, np.asarray(x), mode=m)
+        self._first = False
+        return ()

@@ -1,0 +1,127 @@
+"""Source blocks (reference src/vector_source.rs, signal_source.rs,
+constant_source.rs, file_source.rs)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from ..io import rawfile
+from ..streams import Tag
+from .base import SourceBlock
+
+
+class VectorSource(SourceBlock):
+    """In-memory source with repeat + start/repeat/first tags
+    (reference src/vector_source.rs:50-80)."""
+
+    def __init__(self, data, repeat: int = 1, tags: list[Tag] | None = None):
+        self.data = np.asarray(data)
+        self.repeat = repeat
+        self.user_tags = list(tags or [])
+
+    def total_len(self):
+        return len(self.data) * self.repeat
+
+    def emit(self, offset, n):
+        total = self.total_len()
+        idx = (np.arange(offset, offset + n)) % len(self.data)
+        if offset + n > total:
+            raise ValueError("emit past end of VectorSource")
+        return jnp.asarray(self.data[idx])
+
+    def emit_tags(self, offset, n):
+        out = []
+        m = len(self.data)
+        for rep in range(self.repeat):
+            p = rep * m
+            if offset <= p < offset + n:
+                q = p - offset
+                out.append(Tag(q, "VectorSource::start", True))
+                out.append(Tag(q, "VectorSource::repeat", rep))
+                if rep == 0:
+                    out.append(Tag(q, "VectorSource::first", True))
+        for t in self.user_tags:
+            if offset <= t.pos < offset + n:
+                out.append(Tag(t.pos - offset, t.key, t.val))
+        return out
+
+
+class ConstantSource(SourceBlock):
+    """Constant generator; unbounded (use Head or n=...)."""
+
+    def __init__(self, value, n: int | None = None):
+        self.value = value
+        self.n = n
+
+    def total_len(self):
+        return self.n
+
+    def emit(self, offset, n):
+        return jnp.full(n, self.value)
+
+
+class SignalSourceComplex(SourceBlock):
+    """Complex sine (reference src/signal_source.rs:21-62)."""
+
+    def __init__(self, samp_rate, freq, amplitude=1.0, n: int | None = None):
+        self.samp_rate, self.freq, self.amplitude, self.n = samp_rate, freq, amplitude, n
+
+    def total_len(self):
+        return self.n
+
+    def emit(self, offset, n):
+        return ops.signal_source_c(n, self.samp_rate, self.freq, self.amplitude, offset)
+
+
+class SignalSourceFloat(SourceBlock):
+    def __init__(self, samp_rate, freq, amplitude=1.0, n: int | None = None):
+        self.samp_rate, self.freq, self.amplitude, self.n = samp_rate, freq, amplitude, n
+
+    def total_len(self):
+        return self.n
+
+    def emit(self, offset, n):
+        return ops.signal_source_f(n, self.samp_rate, self.freq, self.amplitude, offset)
+
+
+class NoiseSource(SourceBlock):
+    """Gaussian noise source (no reference equivalent; handy for tests)."""
+
+    def __init__(self, scale=1.0, seed=0, n: int | None = None, complex=False):
+        self.scale, self.seed, self.n, self.complex = scale, seed, n, complex
+
+    def total_len(self):
+        return self.n
+
+    def emit(self, offset, n):
+        rng = np.random.RandomState(self.seed + offset % (2**31))
+        if self.complex:
+            return jnp.asarray(
+                ((rng.randn(n) + 1j * rng.randn(n)) * self.scale).astype(np.complex64)
+            )
+        return jnp.asarray((rng.randn(n) * self.scale).astype(np.float32))
+
+
+class FileSource(SourceBlock):
+    """Raw sample file source (reference src/file_source.rs)."""
+
+    domain = "host"
+
+    def __init__(self, path: str, dtype="c32", repeat: int = 1):
+        self.path, self.dtype, self.repeat = path, dtype, repeat
+        self._data = None
+
+    def _load(self):
+        if self._data is None:
+            self._data = rawfile.read_samples(self.path, self.dtype)
+        return self._data
+
+    def total_len(self):
+        return len(self._load()) * self.repeat
+
+    def emit(self, offset, n):
+        d = self._load()
+        idx = np.arange(offset, offset + n) % len(d)
+        return d[idx]

@@ -1,0 +1,227 @@
+"""Flowgraph builder and runners.
+
+The reference has three schedulers (single-thread round-robin graph.rs,
+thread-per-block mtgraph.rs, tokio agraph.rs) whose dynamism exists to cope
+with buffer occupancy.  Here scheduling is static: a graph is a DAG
+evaluated in topological order, with
+
+* ``run()``   — offline mode: whole streams in one pass (one compile per
+  block signature; XLA fuses the device segments),
+* ``run_stream(chunk_size)`` — streaming mode: fixed-size chunks with each
+  block's carried state, semantically identical to offline,
+
+plus per-block wall-time stats like the reference's post-run table
+(src/graph.rs:175-257) and a cancellation token (src/graph.rs:270-319).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import numpy as np
+
+from .blocks.base import Block, SourceBlock
+from .streams import Tag
+
+
+@dataclasses.dataclass(frozen=True)
+class Port:
+    node: "Node"
+    index: int
+
+
+class Node:
+    def __init__(self, graph: "Graph", block: Block, idx: int):
+        self.graph = graph
+        self.block = block
+        self.idx = idx
+        self.inputs: list[Port] = []
+
+    def __getitem__(self, i: int) -> Port:
+        if i >= self.block.n_out:
+            raise IndexError(f"{self.block.name()} has {self.block.n_out} outputs")
+        return Port(self, i)
+
+    def out(self) -> Port:
+        return Port(self, 0)
+
+
+class CancellationToken:
+    """Cooperative cancellation (reference src/graph.rs:295-319)."""
+
+    def __init__(self):
+        self._cancelled = False
+
+    def cancel(self):
+        self._cancelled = True
+
+    def is_cancelled(self) -> bool:
+        return self._cancelled
+
+
+class Graph:
+    def __init__(self):
+        self.nodes: list[Node] = []
+        self._token = CancellationToken()
+        self._stats: dict[int, float] = {}
+
+    # ---- construction ----
+    def add(self, block: Block, *inputs) -> Node:
+        node = Node(self, block, len(self.nodes))
+        ins: list[Port] = []
+        for i in inputs:
+            if isinstance(i, Node):
+                ins.append(i.out())
+            elif isinstance(i, Port):
+                ins.append(i)
+            else:
+                raise TypeError(f"cannot connect {i!r}")
+        if len(ins) != block.n_in:
+            raise ValueError(
+                f"{block.name()} takes {block.n_in} inputs, got {len(ins)}"
+            )
+        node.inputs = ins
+        self.nodes.append(node)
+        return node
+
+    def chain(self, *blocks) -> Node:
+        """Convenience like the reference's blockchain! macro
+        (src/lib.rs:404-413): connect blocks in sequence."""
+        prev: Node | None = None
+        for b in blocks:
+            if isinstance(b, (Node, Port)):
+                prev = b if isinstance(b, Node) else b.node
+                continue
+            prev = self.add(b, *( [prev] * b.n_in if prev is not None else [] ))
+        return prev
+
+    def cancel_token(self) -> CancellationToken:
+        return self._token
+
+    # ---- execution ----
+    def _topo(self) -> list[Node]:
+        # nodes are appended after their inputs, so insertion order is topo
+        # as long as users build forward; verify anyway.
+        seen = set()
+        for n in self.nodes:
+            for p in n.inputs:
+                if p.node.idx not in seen and p.node.idx > n.idx:
+                    raise ValueError("graph has a cycle or backward edge")
+            seen.add(n.idx)
+        return self.nodes
+
+    def run(self) -> None:
+        """Offline mode: evaluate every block once over whole streams."""
+        values: dict[tuple[int, int], Any] = {}
+        tags: dict[tuple[int, int], list[Tag]] = {}
+        for node in self._topo():
+            if self._token.is_cancelled():
+                break
+            b = node.block
+            xs = [values[(p.node.idx, p.index)] for p in node.inputs]
+            in_tags = [tags.get((p.node.idx, p.index), []) for p in node.inputs]
+            if hasattr(b, "set_tags") and in_tags:
+                b.set_tags(in_tags[0])
+            t0 = time.perf_counter()
+            if isinstance(b, SourceBlock):
+                out = b.apply()
+                total = b.total_len()
+                out_tags_src = b.emit_tags(0, total) if total is not None else []
+            else:
+                out = b.apply(*xs)
+                out_tags_src = None
+            self._stats[node.idx] = self._stats.get(node.idx, 0.0) + (
+                time.perf_counter() - t0
+            )
+            outs = out if isinstance(out, tuple) else (out,)
+            if b.n_out == 0:
+                if hasattr(b, "accept_tags") and in_tags:
+                    b.accept_tags(in_tags[0], 0)
+                continue
+            if b.n_out == 1 and not isinstance(out, tuple):
+                outs = (out,)
+            out_lens = [len(o) if hasattr(o, "__len__") else 0 for o in outs]
+            if out_tags_src is not None:
+                otags = [out_tags_src] * b.n_out
+            else:
+                otags = b.process_tags(in_tags, out_lens)
+            for i, (o, ot) in enumerate(zip(outs, otags)):
+                values[(node.idx, i)] = o
+                tags[(node.idx, i)] = ot
+        # notify canaries / finishers
+        for node in self.nodes:
+            if hasattr(node.block, "finish"):
+                node.block.finish()
+
+    def run_stream(self, chunk_size: int = 1 << 18, max_chunks: int | None = None):
+        """Streaming mode: fixed-size chunks with carried block state."""
+        sources = [n for n in self.nodes if isinstance(n.block, SourceBlock)]
+        if not sources:
+            raise ValueError("graph has no sources")
+        totals = [s.block.total_len() for s in sources]
+        if any(t is None for t in totals):
+            if max_chunks is None:
+                raise ValueError("unbounded source needs max_chunks")
+            total = max_chunks * chunk_size
+        else:
+            total = min(t for t in totals)
+
+        states = {n.idx: n.block.init_state() for n in self.nodes}
+        offset = 0
+        out_offsets: dict[int, int] = {}
+        while offset < total and not self._token.is_cancelled():
+            n_chunk = min(chunk_size, total - offset)
+            values: dict[tuple[int, int], Any] = {}
+            tags: dict[tuple[int, int], list[Tag]] = {}
+            for node in self._topo():
+                b = node.block
+                if isinstance(b, SourceBlock):
+                    t0 = time.perf_counter()
+                    out = b.emit(offset, n_chunk)
+                    self._stats[node.idx] = self._stats.get(node.idx, 0.0) + (
+                        time.perf_counter() - t0
+                    )
+                    values[(node.idx, 0)] = out
+                    tags[(node.idx, 0)] = b.emit_tags(offset, n_chunk)
+                    continue
+                xs = [values[(p.node.idx, p.index)] for p in node.inputs]
+                in_tags = [tags.get((p.node.idx, p.index), []) for p in node.inputs]
+                if hasattr(b, "set_tags") and in_tags:
+                    b.set_tags(in_tags[0])
+                t0 = time.perf_counter()
+                states[node.idx], out = b.apply_chunk(states[node.idx], *xs)
+                self._stats[node.idx] = self._stats.get(node.idx, 0.0) + (
+                    time.perf_counter() - t0
+                )
+                if b.n_out == 0:
+                    if hasattr(b, "accept_tags") and in_tags:
+                        b.accept_tags(in_tags[0], out_offsets.get(node.idx, 0))
+                        out_offsets[node.idx] = out_offsets.get(node.idx, 0) + len(
+                            xs[0]
+                        )
+                    continue
+                outs = out if isinstance(out, tuple) else (out,)
+                out_lens = [len(o) if hasattr(o, "__len__") else 0 for o in outs]
+                otags = b.process_tags(in_tags, out_lens)
+                for i, (o, ot) in enumerate(zip(outs, otags)):
+                    values[(node.idx, i)] = o
+                    tags[(node.idx, i)] = ot
+            offset += n_chunk
+        for node in self.nodes:
+            if hasattr(node.block, "finish"):
+                node.block.finish()
+
+    # ---- stats ----
+    def generate_stats(self) -> str:
+        """Per-block elapsed-time table (reference src/graph.rs:175-257)."""
+        total = sum(self._stats.values()) or 1e-12
+        lines = ["block                          seconds     %"]
+        for node in self.nodes:
+            t = self._stats.get(node.idx, 0.0)
+            lines.append(
+                f"{node.block.name():<30} {t:>8.4f} {100.0 * t / total:>5.1f}"
+            )
+        lines.append(f"{'TOTAL':<30} {total:>8.4f} 100.0")
+        return "\n".join(lines)

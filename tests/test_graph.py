@@ -1,0 +1,223 @@
+"""Graph construction, offline run, streaming run, tags, stats."""
+
+import numpy as np
+import pytest
+
+from rustradio_tpu import blocks, ops
+from rustradio_tpu.graph import Graph
+from rustradio_tpu.streams import Tag
+
+
+def test_simple_chain_offline():
+    # reference examples/simple_graph.rs: signal -> filter -> sink
+    g = Graph()
+    src = g.add(blocks.VectorSource(np.arange(16, dtype=np.float32)))
+    add = g.add(blocks.AddConst(1.0), src)
+    mul = g.add(blocks.MultiplyConst(2.0), add)
+    sink = g.add(blocks.VectorSink(), mul)
+    g.run()
+    np.testing.assert_array_equal(
+        sink.block.data(), (np.arange(16) + 1) * 2
+    )
+
+
+def test_chain_macro():
+    g = Graph()
+    sink = blocks.VectorSink()
+    g.chain(
+        blocks.VectorSource(np.ones(8, np.float32)),
+        blocks.AddConst(2.0),
+        sink,
+    )
+    g.run()
+    np.testing.assert_array_equal(sink.data(), np.full(8, 3.0))
+
+
+def test_tee_and_two_sinks():
+    g = Graph()
+    src = g.add(blocks.VectorSource(np.arange(4, dtype=np.float32)))
+    tee = g.add(blocks.Tee(), src)
+    s1 = g.add(blocks.VectorSink(), tee[0])
+    s2 = g.add(blocks.VectorSink(), tee[1])
+    g.run()
+    np.testing.assert_array_equal(s1.block.data(), s2.block.data())
+
+
+def test_vector_source_tags_propagate():
+    g = Graph()
+    src = g.add(blocks.VectorSource(np.ones(4, np.float32), repeat=2))
+    sink = g.add(blocks.VectorSink(), g.add(blocks.AddConst(0.0), src))
+    g.run()
+    tags = sink.block.tags()
+    keys = [(t.pos, t.key) for t in tags]
+    assert (0, "VectorSource::start") in keys
+    assert (4, "VectorSource::repeat") in keys
+    assert (0, "VectorSource::first") in keys
+
+
+def test_fir_graph_matches_op():
+    rng = np.random.RandomState(0)
+    x = rng.randn(300).astype(np.float32)
+    taps = rng.randn(31).astype(np.float32)
+    g = Graph()
+    sink = blocks.VectorSink()
+    g.chain(blocks.VectorSource(x), blocks.FirFilter(taps, deci=3), sink)
+    g.run()
+    np.testing.assert_allclose(
+        sink.data(), np.asarray(ops.fir_filter(x, taps, 3)), rtol=1e-5
+    )
+
+
+def test_streaming_equals_offline_dense_chain():
+    rng = np.random.RandomState(1)
+    x = (rng.randn(4096) + 1j * rng.randn(4096)).astype(np.complex64)
+    taps = rng.randn(33).astype(np.float32).astype(np.complex64)
+
+    def build():
+        g = Graph()
+        sink = blocks.VectorSink()
+        g.chain(
+            blocks.VectorSource(x),
+            blocks.FftFilter(taps),
+            blocks.QuadratureDemod(0.5),
+            blocks.SinglePoleIirFilter(0.3),
+            sink,
+        )
+        return g, sink
+
+    g1, s1 = build()
+    g1.run()
+    g2, s2 = build()
+    g2.run_stream(chunk_size=500)
+    a, b = s1.data(), s2.data()
+    assert len(b) == len(a)
+    np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+def test_streaming_equals_offline_decimating_fir():
+    rng = np.random.RandomState(2)
+    x = rng.randn(1000).astype(np.float32)
+    taps = rng.randn(21).astype(np.float32)
+
+    g1 = Graph()
+    s1 = blocks.VectorSink()
+    g1.chain(blocks.VectorSource(x), blocks.FirFilter(taps, deci=3), s1)
+    g1.run()
+
+    g2 = Graph()
+    s2 = blocks.VectorSink()
+    g2.chain(blocks.VectorSource(x), blocks.FirFilter(taps, deci=3), s2)
+    g2.run_stream(chunk_size=170)
+    np.testing.assert_allclose(s1.data(), s2.data(), rtol=1e-5)
+
+
+def test_streaming_resampler_matches_offline():
+    x = np.arange(1000, dtype=np.float32)
+    for interp, deci in [(50000, 44100), (2, 3), (7, 2)]:
+        g1 = Graph()
+        s1 = blocks.VectorSink()
+        g1.chain(blocks.VectorSource(x), blocks.RationalResampler(interp, deci), s1)
+        g1.run()
+        g2 = Graph()
+        s2 = blocks.VectorSink()
+        g2.chain(blocks.VectorSource(x), blocks.RationalResampler(interp, deci), s2)
+        g2.run_stream(chunk_size=123)
+        np.testing.assert_array_equal(s1.data(), s2.data())
+
+
+def test_streaming_digital_chain():
+    rng = np.random.RandomState(3)
+    bits = rng.randint(0, 2, 500).astype(np.uint8)
+
+    def build():
+        g = Graph()
+        sink = blocks.VectorSink()
+        g.chain(
+            blocks.VectorSource(bits),
+            blocks.NrziEncode(),
+            blocks.Scrambler.g3ruh(),
+            blocks.Descrambler.g3ruh(),
+            blocks.NrziDecode(),
+            sink,
+        )
+        return g, sink
+
+    g1, s1 = build()
+    g1.run()
+    g2, s2 = build()
+    g2.run_stream(chunk_size=64)
+    np.testing.assert_array_equal(s1.data(), s2.data())
+    # Round trip: the scrambler emits the oldest register bit, so the chain
+    # is a 17-bit delay (reference descrambler.rs test long_random_nrzi_g3ruh
+    # skips 17 samples).
+    np.testing.assert_array_equal(s1.data()[17:], bits[: len(bits) - 17])
+
+
+def test_burst_pipeline_graph():
+    # power-gated burst -> PDU -> back to stream
+    rng = np.random.RandomState(4)
+    data = np.zeros(1000, np.float32)
+    data[300:400] = rng.randn(100).astype(np.float32) + 3
+    trigger = np.zeros(1000, np.float32)
+    trigger[295:405] = 1.0
+
+    g = Graph()
+    dsrc = g.add(blocks.VectorSource(data))
+    tsrc = g.add(blocks.VectorSource(trigger))
+    bt = g.add(blocks.BurstTagger(0.5, "burst"), dsrc, tsrc)
+    pdu = g.add(blocks.StreamToPdu("burst", 10_000, 0), bt)
+    back = g.add(blocks.PduToStream(), pdu)
+    sink = g.add(blocks.VectorSink(), back)
+    g.run()
+    np.testing.assert_array_equal(sink.block.data(), data[295:405])
+
+
+def test_hdlc_graph_end_to_end():
+    payload = np.frombuffer(b"GRAPH HDLC TEST", np.uint8)
+    framed = ops.hdlc_frame(ops.fcs_add(payload))
+    g = Graph()
+    src = g.add(blocks.VectorSource(framed))
+    nrzi_in = g.add(blocks.NrziEncode(), src)
+    nrzi_out = g.add(blocks.NrziDecode(), nrzi_in)
+    hdlc = blocks.HdlcDeframer(1, 100)
+    deframer = g.add(hdlc, nrzi_out)
+    pdus = []
+    sink = g.add(blocks.Map(lambda p: pdus.extend(p) or (), "collect"), deframer)
+    sink.block.n_out = 0
+    g.run()
+    assert hdlc.stats["decoded"] == 1
+
+
+def test_stats_table():
+    g = Graph()
+    g.chain(blocks.VectorSource(np.ones(64, np.float32)), blocks.AddConst(1.0), blocks.NullSink())
+    g.run()
+    stats = g.generate_stats()
+    assert "AddConst" in stats and "TOTAL" in stats
+
+
+def test_cancellation():
+    g = Graph()
+    sink = blocks.VectorSink()
+    g.chain(blocks.VectorSource(np.ones(10, np.float32)), sink)
+    g.cancel_token().cancel()
+    g.run()
+    assert len(sink.data()) == 0
+
+
+def test_bad_connections():
+    g = Graph()
+    src = g.add(blocks.VectorSource(np.ones(4)))
+    with pytest.raises(ValueError, match="takes 2 inputs"):
+        g.add(blocks.Add(), src)
+    with pytest.raises(IndexError):
+        src[1]
+
+
+def test_head_and_skip_streaming():
+    x = np.arange(100, dtype=np.float32)
+    g = Graph()
+    sink = blocks.VectorSink()
+    g.chain(blocks.VectorSource(x), blocks.Skip(10), blocks.Head(20), sink)
+    g.run_stream(chunk_size=7)
+    np.testing.assert_array_equal(sink.data(), x[10:30])
