@@ -1,0 +1,54 @@
+"""Narrow-band FM receiver from an IQ capture (reference examples/rtl_fm.rs,
+file path: capture -> channel filter -> FM demod -> audio resample -> .au).
+
+Usage:
+    python -m rustradio_tpu.apps.rtl_fm -r capture.c32 --sample_rate 1.024m \
+        --out audio.au
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from .. import taps as tapgen
+from ..dtypes import parse_frequency
+from ..io import au, rawfile
+from .. import ops
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-r", "--read", required=True)
+    p.add_argument("--sample_rate", type=parse_frequency, default=1_024_000.0)
+    p.add_argument("--audio_rate", type=parse_frequency, default=48_000.0)
+    p.add_argument("--cutoff", type=parse_frequency, default=100_000.0)
+    p.add_argument("--deviation", type=parse_frequency, default=75_000.0)
+    p.add_argument("--volume", type=float, default=1.0)
+    p.add_argument("--out", required=True, help=".au output file")
+    p.add_argument("--rtl_u8", action="store_true", help="input is RTL-SDR u8 IQ")
+    opt = p.parse_args(argv)
+
+    if opt.rtl_u8:
+        raw = np.fromfile(opt.read, np.uint8)
+        iq = rawfile.rtlsdr_decode(raw)
+    else:
+        iq = rawfile.read_samples(opt.read, "c32")
+
+    fs = float(opt.sample_rate)
+    lp = tapgen.low_pass_complex(fs, float(opt.cutoff), float(opt.cutoff) / 2, "hamming")
+    x = ops.fft_filter(iq, lp)
+    gain = fs / (2 * np.pi * float(opt.deviation))
+    demod = ops.quadrature_demod(x, gain)
+    audio = ops.rational_resampler(demod, int(opt.audio_rate), int(fs))
+    audio = np.asarray(audio) * opt.volume
+    with open(opt.out, "wb") as f:
+        f.write(au.au_encode(np.clip(audio, -1, 1), int(opt.audio_rate)))
+    print(f"wrote {len(audio)} audio samples to {opt.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

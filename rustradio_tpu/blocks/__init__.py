@@ -53,6 +53,7 @@ from .digital import (
     ZeroCrossing,
 )
 from .packets import (
+    Il2pDeframer,
     BurstTagger,
     Canary,
     FcsAdder,

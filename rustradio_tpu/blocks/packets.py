@@ -419,3 +419,34 @@ class Canary(Block):
 
     def finish(self):
         self.fn()
+
+
+class Il2pDeframer(Block):
+    """IL2P header deframer (reference src/il2p_deframer.rs).
+
+    Consumes a bit stream, emits one PDU per parsed header (the reference
+    also delivers only headers; payload delivery is a TODO there too).
+    """
+
+    domain = "host"
+
+    def __init__(self):
+        self.decoded = 0
+        self.headers = []
+
+    def apply(self, x):
+        from ..ops.il2p import il2p_deframe
+
+        hdrs = il2p_deframe(np.asarray(x, np.uint8))
+        self.decoded += len(hdrs)
+        self.headers.extend(hdrs)
+        out = []
+        for h in hdrs:
+            out.append(
+                Pdu(
+                    np.zeros(0, np.uint8),
+                    [Tag(0, "il2p:src", h.src), Tag(0, "il2p:dst", h.dst),
+                     Tag(0, "il2p:type", h.describe())],
+                )
+            )
+        return out

@@ -1,0 +1,148 @@
+"""The framed multi-stream byte protocol (reference DATA_STREAM.md +
+src/data_stream.rs).
+
+Little-endian framing over any bidirectional byte transport:
+
+    u32 packet_len; u8 packet_type; u8[packet_len-1] body
+
+Types: Version=1 (u32 version, must be first both ways), RequestData=2
+(u32 window + stream id; credit-based flow control), Data=3
+(u32 stream_id_len + id + bytes).  Payloads over 64 MiB rejected.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Callable
+
+MAX_PACKET = 64 * 1024 * 1024
+VERSION = 0
+T_VERSION, T_REQUEST_DATA, T_DATA = 1, 2, 3
+
+
+class ProtocolError(ValueError):
+    pass
+
+
+def encode_version() -> bytes:
+    return struct.pack("<IBI", 5, T_VERSION, VERSION)
+
+
+def encode_request_data(stream_id: str, window: int) -> bytes:
+    sid = stream_id.encode()
+    return struct.pack("<IBI", 1 + 4 + len(sid), T_REQUEST_DATA, window) + sid
+
+
+def encode_data(stream_id: str, data: bytes) -> bytes:
+    sid = stream_id.encode()
+    return (
+        struct.pack("<IBI", 1 + 4 + len(sid) + len(data), T_DATA, len(sid))
+        + sid
+        + data
+    )
+
+
+class BytesReader:
+    """Byte-fed incremental parser (reference src/data_stream.rs BytesReader).
+
+    Feed arbitrary byte chunks with ``feed``; parsed packets come out as
+    ("version", v) / ("request_data", id, window) / ("data", id, bytes).
+    """
+
+    def __init__(self, max_packet: int = MAX_PACKET):
+        self._buf = bytearray()
+        self.max_packet = max_packet
+        self._got_version = False
+
+    def feed(self, data: bytes):
+        self._buf.extend(data)
+        out = []
+        while True:
+            if len(self._buf) < 4:
+                break
+            (plen,) = struct.unpack_from("<I", self._buf, 0)
+            if plen == 0:
+                raise ProtocolError("zero-length packet")
+            if plen > self.max_packet:
+                raise ProtocolError(f"packet of {plen} bytes exceeds cap")
+            if len(self._buf) < 4 + plen:
+                break
+            body = bytes(self._buf[5 : 4 + plen])
+            ptype = self._buf[4]
+            del self._buf[: 4 + plen]
+            out.append(self._parse(ptype, body))
+        return out
+
+    def _parse(self, ptype: int, body: bytes):
+        if not self._got_version and ptype != T_VERSION:
+            raise ProtocolError("first packet must be Version")
+        if ptype == T_VERSION:
+            if len(body) != 4:
+                raise ProtocolError("bad Version packet")
+            (v,) = struct.unpack("<I", body)
+            if v != VERSION:
+                raise ProtocolError(f"unsupported version {v}")
+            self._got_version = True
+            return ("version", v)
+        if ptype == T_REQUEST_DATA:
+            if len(body) < 4:
+                raise ProtocolError("bad RequestData packet")
+            (window,) = struct.unpack_from("<I", body, 0)
+            sid = body[4:].decode()  # raises on invalid UTF-8, like reference
+            return ("request_data", sid, window)
+        if ptype == T_DATA:
+            if len(body) < 4:
+                raise ProtocolError("bad Data packet")
+            (sid_len,) = struct.unpack_from("<I", body, 0)
+            if 4 + sid_len > len(body):
+                raise ProtocolError("bad Data stream id length")
+            sid = body[4 : 4 + sid_len].decode()
+            return ("data", sid, body[4 + sid_len :])
+        raise ProtocolError(f"unknown packet type {ptype}")
+
+
+class SyncWriter:
+    """Writer with per-stream credit windows (reference SyncWriter)."""
+
+    def __init__(self, write: Callable[[bytes], None]):
+        self._write = write
+        self.windows: dict[str, int] = {}
+        self._write(encode_version())
+
+    def grant(self, stream_id: str, window: int):
+        """Apply a received RequestData (replaces the previous window)."""
+        self.windows[stream_id] = window
+
+    def send(self, stream_id: str, data: bytes) -> int:
+        """Send as much of ``data`` as the window allows; returns bytes sent."""
+        w = self.windows.get(stream_id, 0)
+        n = min(w, len(data))
+        if n == 0:
+            return 0
+        self._write(encode_data(stream_id, bytes(data[:n])))
+        self.windows[stream_id] = w - n
+        return n
+
+
+class SyncReader:
+    """Reader that pulls with RequestData (reference SyncReader)."""
+
+    def __init__(self, write: Callable[[bytes], None], max_packet: int = MAX_PACKET):
+        self._write = write
+        self._parser = BytesReader(max_packet)
+        self.received: dict[str, bytearray] = {}
+        self._write(encode_version())
+
+    def request(self, stream_id: str, window: int):
+        self._write(encode_request_data(stream_id, window))
+
+    def feed(self, data: bytes):
+        events = self._parser.feed(data)
+        for ev in events:
+            if ev[0] == "data":
+                self.received.setdefault(ev[1], bytearray()).extend(ev[2])
+        return events
+
+    def take(self, stream_id: str) -> bytes:
+        buf = self.received.pop(stream_id, bytearray())
+        return bytes(buf)
