@@ -1,0 +1,277 @@
+// rustradio_tpu native host runtime.
+//
+// The reference implements its entire inter-block transport as an mmap'd,
+// double-mapped SPSC circular buffer (reference src/nowasm/circular_buffer.rs:
+// Circ::new maps one memfd twice back-to-back so every window is linear;
+// produce/consume move atomic cursors; Condvar wakeups).  On the TPU
+// framework the *device* path needs no such buffer — but the host feed does:
+// file/SDR/TCP bytes must be read, converted to planar f32 I/Q, and staged
+// for device_put without stalling the compute stream.  This library is that
+// host runtime: a lock-free SPSC ring with the same double-map trick, a
+// background reader thread, and vectorizable sample-format converters.
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o librr_native.so rr_native.cpp -lpthread
+
+#include <atomic>
+#include <cerrno>
+#include <cstdint>
+#include <cstring>
+#include <cstdio>
+#include <cmath>
+#include <thread>
+#include <chrono>
+
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------- ring
+
+struct RrRing {
+  uint8_t* base;       // double-mapped region, 2*size bytes of address space
+  size_t size;         // capacity in bytes (page multiple)
+  std::atomic<uint64_t> head;  // write cursor (bytes, monotonically increasing)
+  std::atomic<uint64_t> tail;  // read cursor
+  std::atomic<int> eof;        // producer signalled end-of-stream
+  std::atomic<int> err;        // producer error
+};
+
+static size_t round_up_pages(size_t n) {
+  size_t p = (size_t)sysconf(_SC_PAGESIZE);
+  return (n + p - 1) / p * p;
+}
+
+// Create a ring of at least `min_size` bytes. Returns NULL on failure.
+RrRing* rr_ring_create(size_t min_size) {
+  size_t size = round_up_pages(min_size);
+  int fd = memfd_create("rr_ring", 0);
+  if (fd < 0) return nullptr;
+  if (ftruncate(fd, (off_t)size) != 0) {
+    close(fd);
+    return nullptr;
+  }
+  // Reserve 2*size of address space, then map the fd twice into it: the
+  // double-map trick (reference circular_buffer.rs Map::with_addr,
+  // :34-74) — any window of `size` bytes is linear.
+  void* reserve = mmap(nullptr, 2 * size, PROT_NONE,
+                       MAP_PRIVATE | MAP_ANONYMOUS, -1, 0);
+  if (reserve == MAP_FAILED) {
+    close(fd);
+    return nullptr;
+  }
+  void* a = mmap(reserve, size, PROT_READ | PROT_WRITE,
+                 MAP_SHARED | MAP_FIXED, fd, 0);
+  void* b = mmap((uint8_t*)reserve + size, size, PROT_READ | PROT_WRITE,
+                 MAP_SHARED | MAP_FIXED, fd, 0);
+  close(fd);
+  if (a == MAP_FAILED || b == MAP_FAILED) {
+    munmap(reserve, 2 * size);
+    return nullptr;
+  }
+  auto* r = new RrRing();
+  r->base = (uint8_t*)reserve;
+  r->size = size;
+  r->head.store(0);
+  r->tail.store(0);
+  r->eof.store(0);
+  r->err.store(0);
+  return r;
+}
+
+void rr_ring_destroy(RrRing* r) {
+  if (!r) return;
+  munmap(r->base, 2 * r->size);
+  delete r;
+}
+
+size_t rr_ring_capacity(RrRing* r) { return r->size; }
+
+size_t rr_ring_readable(RrRing* r) {
+  return (size_t)(r->head.load(std::memory_order_acquire) -
+                  r->tail.load(std::memory_order_relaxed));
+}
+
+size_t rr_ring_writable(RrRing* r) {
+  return r->size - rr_ring_readable(r);
+}
+
+int rr_ring_eof(RrRing* r) {
+  return r->eof.load(std::memory_order_acquire) && rr_ring_readable(r) == 0;
+}
+
+int rr_ring_error(RrRing* r) { return r->err.load(std::memory_order_acquire); }
+
+void rr_ring_set_eof(RrRing* r) { r->eof.store(1, std::memory_order_release); }
+
+// Producer: copy n bytes in (blocking until space or consumer gone).
+// Returns bytes written (== n), or 0 if the ring is closed.
+size_t rr_ring_write(RrRing* r, const void* data, size_t n) {
+  const uint8_t* src = (const uint8_t*)data;
+  size_t done = 0;
+  while (done < n) {
+    size_t avail = rr_ring_writable(r);
+    if (avail == 0) {
+      std::this_thread::sleep_for(std::chrono::microseconds(50));
+      continue;
+    }
+    size_t take = std::min(avail, n - done);
+    uint64_t h = r->head.load(std::memory_order_relaxed);
+    memcpy(r->base + (h % r->size), src + done, take);  // linear: double map
+    r->head.store(h + take, std::memory_order_release);
+    done += take;
+  }
+  return done;
+}
+
+// Consumer: peek a linear pointer to up to n readable bytes.
+// Returns the number of bytes addressable at *ptr.
+size_t rr_ring_peek(RrRing* r, uint8_t** ptr, size_t n) {
+  size_t avail = rr_ring_readable(r);
+  size_t take = std::min(avail, n);
+  uint64_t t = r->tail.load(std::memory_order_relaxed);
+  *ptr = r->base + (t % r->size);
+  return take;
+}
+
+void rr_ring_consume(RrRing* r, size_t n) {
+  r->tail.fetch_add(n, std::memory_order_release);
+}
+
+// Consumer: blocking read of exactly n bytes (or fewer at EOF).
+size_t rr_ring_read(RrRing* r, void* out, size_t n) {
+  uint8_t* dst = (uint8_t*)out;
+  size_t done = 0;
+  while (done < n) {
+    size_t avail = rr_ring_readable(r);
+    if (avail == 0) {
+      if (r->eof.load(std::memory_order_acquire)) break;
+      std::this_thread::sleep_for(std::chrono::microseconds(50));
+      continue;
+    }
+    size_t take = std::min(avail, n - done);
+    uint64_t t = r->tail.load(std::memory_order_relaxed);
+    memcpy(dst + done, r->base + (t % r->size), take);
+    r->tail.store(t + take, std::memory_order_release);
+    done += take;
+  }
+  return done;
+}
+
+// ---------------------------------------------------------------- reader
+
+struct RrReader {
+  RrRing* ring;
+  std::thread thread;
+  std::atomic<int> stop;
+  int repeat;
+  char path[4096];
+};
+
+static void reader_main(RrReader* rd) {
+  for (int pass = 0; rd->repeat < 0 || pass < rd->repeat; pass++) {
+    FILE* f = fopen(rd->path, "rb");
+    if (!f) {
+      rd->ring->err.store(errno ? errno : 1, std::memory_order_release);
+      break;
+    }
+    uint8_t buf[1 << 16];
+    size_t got;
+    while ((got = fread(buf, 1, sizeof(buf), f)) > 0) {
+      if (rd->stop.load(std::memory_order_acquire)) {
+        fclose(f);
+        rr_ring_set_eof(rd->ring);
+        return;
+      }
+      rr_ring_write(rd->ring, buf, got);
+    }
+    fclose(f);
+  }
+  rr_ring_set_eof(rd->ring);
+}
+
+// Start a background file reader filling the ring. repeat<0 = loop forever.
+RrReader* rr_reader_start(RrRing* ring, const char* path, int repeat) {
+  auto* rd = new RrReader();
+  rd->ring = ring;
+  rd->stop.store(0);
+  rd->repeat = repeat == 0 ? 1 : repeat;
+  snprintf(rd->path, sizeof(rd->path), "%s", path);
+  rd->thread = std::thread(reader_main, rd);
+  return rd;
+}
+
+void rr_reader_stop(RrReader* rd) {
+  if (!rd) return;
+  rd->stop.store(1, std::memory_order_release);
+  if (rd->thread.joinable()) rd->thread.join();
+  delete rd;
+}
+
+// ---------------------------------------------------------------- convert
+
+// i16 big-endian PCM -> f32 (the .au decode hot loop; reference
+// src/au.rs:265-277 divides by 32767).
+void rr_convert_i16be_f32(const uint8_t* src, float* dst, size_t n) {
+  const float k = 1.0f / 32767.0f;
+  for (size_t i = 0; i < n; i++) {
+    int16_t v = (int16_t)((src[2 * i] << 8) | src[2 * i + 1]);
+    dst[i] = (float)v * k;
+  }
+}
+
+// i16 little-endian -> f32.
+void rr_convert_i16le_f32(const uint8_t* src, float* dst, size_t n) {
+  const float k = 1.0f / 32767.0f;
+  for (size_t i = 0; i < n; i++) {
+    int16_t v;
+    memcpy(&v, src + 2 * i, 2);
+    dst[i] = (float)v * k;
+  }
+}
+
+// RTL-SDR u8 offset-127 interleaved IQ -> planar f32 I and Q
+// (reference src/rtlsdr_decode.rs: (x-127)*0.008), planar because the TPU
+// staging path transfers separate f32 I/Q streams.
+void rr_convert_u8iq_f32_planar(const uint8_t* src, float* dst_i, float* dst_q,
+                                size_t n_samples, float scale) {
+  for (size_t i = 0; i < n_samples; i++) {
+    dst_i[i] = ((float)src[2 * i] - 127.0f) * scale;
+    dst_q[i] = ((float)src[2 * i + 1] - 127.0f) * scale;
+  }
+}
+
+// Interleaved complex64 -> planar f32 I/Q (for host arrays destined to TPU).
+void rr_deinterleave_c64(const float* src, float* dst_i, float* dst_q,
+                         size_t n_samples) {
+  for (size_t i = 0; i < n_samples; i++) {
+    dst_i[i] = src[2 * i];
+    dst_q[i] = src[2 * i + 1];
+  }
+}
+
+// Planar f32 I/Q -> interleaved complex64.
+void rr_interleave_c64(const float* src_i, const float* src_q, float* dst,
+                       size_t n_samples) {
+  for (size_t i = 0; i < n_samples; i++) {
+    dst[2 * i] = src_i[i];
+    dst[2 * i + 1] = src_q[i];
+  }
+}
+
+// f32 -> i16 big-endian PCM with truncation toward zero (reference
+// src/au.rs:147-149 casts (f*32767) as i16).
+void rr_convert_f32_i16be(const float* src, uint8_t* dst, size_t n) {
+  for (size_t i = 0; i < n; i++) {
+    float v = src[i] * 32767.0f;
+    if (v > 32767.0f) v = 32767.0f;
+    if (v < -32768.0f) v = -32768.0f;
+    int16_t s = (int16_t)v;  // trunc toward zero
+    dst[2 * i] = (uint8_t)((uint16_t)s >> 8);
+    dst[2 * i + 1] = (uint8_t)((uint16_t)s & 0xff);
+  }
+}
+
+}  // extern "C"
