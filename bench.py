@@ -38,14 +38,15 @@ def main() -> None:
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
     n = 1 << 24 if on_tpu else 1 << 20
-    iters = 8 if on_tpu else 2
+    iters = 16 if on_tpu else 2
     deci = 4
 
     lp = tg.low_pass_complex(1_024_000.0, 100_000.0, 50_000.0, "hamming")
 
+    from rustradio_tpu.ops.fft_filter import fft_filter_decimate
+
     def chain(x):
-        y = ops.fft_filter(x, lp, fft_size=32768)
-        y = y[::deci]
+        y = fft_filter_decimate(x, lp, deci, fft_size=8192)
         return ops.quadrature_demod(y, 1.0)
 
     @jax.jit
@@ -58,14 +59,16 @@ def main() -> None:
         x = jax.lax.complex(a, b)
 
         def body(carry, s):
-            y = chain(x * s)
+            # additive variation: the chain is linear+scale-invariant, so a
+            # multiplicative scale could be hoisted out of the loop by XLA.
+            y = chain(x + jax.lax.complex(s, s))
             return carry + jnp.sum(y), ()
 
         total, _ = jax.lax.scan(body, jnp.float32(0.0), scales)
         return total
 
     key = jax.random.key(0)
-    scales = jnp.linspace(1.0, 1.001, iters).astype(jnp.float32)
+    scales = jnp.linspace(0.0, 0.001, iters).astype(jnp.float32)
 
     # Warmup: compile both programs and the transfer path.
     float(bench_loop(key, scales[:1]))

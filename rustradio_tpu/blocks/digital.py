@@ -143,20 +143,22 @@ class SymbolSync(Block):
         self.sps = sps
         self.max_deviation = max_deviation
         self.clock_taps = tuple(clock_taps)
-        self._state = None
 
     def init_state(self):
-        self._state = None
-        return None
+        return {"sync": None}
+
+    def _run(self, x, state):
+        (vals, mask, _), new_state = ops.symbol_sync(
+            x, self.sps, self.max_deviation, self.clock_taps, state=state
+        )
+        return jnp.asarray(np.asarray(vals)[np.asarray(mask)]), new_state
 
     def apply(self, x):
-        (vals, mask, _), self._state = ops.symbol_sync(
-            x, self.sps, self.max_deviation, self.clock_taps, state=self._state
-        )
-        return jnp.asarray(np.asarray(vals)[np.asarray(mask)])
+        return self._run(x, None)[0]
 
     def apply_chunk(self, state, x):
-        return None, self.apply(x)
+        syms, new = self._run(x, state["sync"] if state else None)
+        return {"sync": new}, syms
 
 
 class ZeroCrossing(Block):
@@ -167,17 +169,19 @@ class ZeroCrossing(Block):
     def __init__(self, sps: float, max_deviation: float = 0.5):
         self.sps = sps
         self.max_deviation = max_deviation
-        self._state = None
 
     def init_state(self):
-        self._state = None
-        return None
+        return {"sync": None}
+
+    def _run(self, x, state):
+        (vals, mask), new_state = ops.zero_crossing_sync(
+            x, self.sps, self.max_deviation, state=state
+        )
+        return jnp.asarray(np.asarray(vals)[np.asarray(mask)]), new_state
 
     def apply(self, x):
-        (vals, mask), self._state = ops.zero_crossing_sync(
-            x, self.sps, self.max_deviation, state=self._state
-        )
-        return jnp.asarray(np.asarray(vals)[np.asarray(mask)])
+        return self._run(x, None)[0]
 
     def apply_chunk(self, state, x):
-        return None, self.apply(x)
+        syms, new = self._run(x, state["sync"] if state else None)
+        return {"sync": new}, syms

@@ -22,7 +22,6 @@ class FirFilter(Block):
         self.taps = np.asarray(taps)
         self.deci = deci
         self.translate = translate
-        self._out_offset = 0  # rotator position for streaming translation
 
     def apply(self, x):
         if self.translate is not None:
@@ -31,15 +30,17 @@ class FirFilter(Block):
         return ops.fir_filter(x, self.taps, self.deci)
 
     def init_state(self):
-        self._out_offset = 0
-        return np.zeros(0, self.taps.dtype)
+        return {"buf": np.zeros(0, self.taps.dtype), "out_off": 0}
 
     def apply_chunk(self, state, x):
         ntaps = len(self.taps)
-        buf = jnp.concatenate([jnp.asarray(state, jnp.asarray(x).dtype), jnp.asarray(x)])
+        buf = jnp.concatenate(
+            [jnp.asarray(state["buf"], jnp.asarray(x).dtype), jnp.asarray(x)]
+        )
         n_avail = buf.shape[0]
+        out_off = state["out_off"]
         if n_avail < ntaps:
-            return buf, jnp.zeros(0, buf.dtype)
+            return {"buf": buf, "out_off": out_off}, jnp.zeros(0, buf.dtype)
         n_out = (n_avail - ntaps) // self.deci + 1
         consumed = n_out * self.deci
         if self.translate is not None:
@@ -47,11 +48,10 @@ class FirFilter(Block):
             y = ops.fir_filter_translating(buf, self.taps, sr, fq, self.deci)
             # fix rotator phase for the global output offset
             step = -2.0 * np.pi * fq / sr * self.deci
-            y = y * jnp.exp(1j * jnp.float32(step * self._out_offset)).astype(y.dtype)
-            self._out_offset += int(n_out)
+            y = y * jnp.exp(1j * jnp.float32(step * out_off)).astype(y.dtype)
         else:
             y = ops.fir_filter(buf, self.taps, self.deci)
-        return buf[consumed:], y
+        return {"buf": buf[consumed:], "out_off": out_off + int(n_out)}, y
 
 
 class FftFilter(Block):

@@ -24,32 +24,36 @@ class HdlcDeframer(Block):
 
     def __init__(self, min_size: int = 10, max_size: int = 1500,
                  fix_bits: bool = False, keep_checksum: bool = False):
+        from ..ops.hdlc import HdlcStateMachine
+
         self.min_size, self.max_size = min_size, max_size
         self.fix_bits, self.keep_checksum = fix_bits, keep_checksum
-        self.stats = {"decoded": 0, "crc_error": 0, "bitfixed": 0}
-        self._carry_bits = np.zeros(0, np.uint8)  # streaming remainder
+        self._sm = HdlcStateMachine(min_size, max_size, keep_checksum, fix_bits)
 
-    def apply(self, x):
-        bits = np.asarray(x, np.uint8)
-        pkts, stats = ops.hdlc_deframe(
-            bits, self.min_size, self.max_size,
-            keep_checksum=self.keep_checksum, fix_bits=self.fix_bits,
-        )
-        for k in stats:
-            self.stats[k] += stats[k]
+    @property
+    def stats(self):
+        return self._sm.stats
+
+    def _emit(self, pkts):
         return [Pdu(d, [Tag(0, "packet_pos", int(p))]) for d, p in pkts]
 
+    def apply(self, x):
+        return self._emit(self._sm.feed(np.asarray(x, np.uint8)))
+
+    def init_state(self):
+        from ..ops.hdlc import HdlcStateMachine
+
+        self._sm = HdlcStateMachine(
+            self.min_size, self.max_size, self.keep_checksum, self.fix_bits
+        )
+        return self._sm.snapshot()
+
     def apply_chunk(self, state, x):
-        # Streaming: keep a tail of up to max_size*8+16 bits so frames that
-        # straddle chunk boundaries are re-scanned whole.
-        bits = np.concatenate([self._carry_bits, np.asarray(x, np.uint8)])
-        keep = self.max_size * 8 + 64
-        # Process all but the trailing potentially-incomplete frame window.
-        pdus = self.apply(bits)
-        self._carry_bits = bits[-keep:] if len(bits) > keep else bits
-        # Dedup against re-scan: only emit frames ending in the new region.
-        del state
-        return None, pdus
+        # The resumable state machine handles frames across chunk
+        # boundaries; its snapshot IS the checkpointable state.
+        self._sm.restore(state)
+        pdus = self._emit(self._sm.feed(np.asarray(x, np.uint8)))
+        return self._sm.snapshot(), pdus
 
 
 class HdlcFramer(Block):
@@ -84,6 +88,15 @@ class BurstTagger(Block):
         self.threshold = threshold
         self.tag = tag
         self._last = False
+
+    def init_state(self):
+        self._last = False
+        return {"last": False}
+
+    def apply_chunk(self, state, data, trigger):
+        self._last = state["last"]
+        out = self.apply(data, trigger)
+        return {"last": self._last}, out
 
     def apply(self, data, trigger):
         start, end = ops.burst_tagger(trigger, self.threshold, last=self._last)

@@ -155,8 +155,20 @@ class Graph:
             if hasattr(node.block, "finish"):
                 node.block.finish()
 
-    def run_stream(self, chunk_size: int = 1 << 18, max_chunks: int | None = None):
-        """Streaming mode: fixed-size chunks with carried block state."""
+    def run_stream(
+        self,
+        chunk_size: int = 1 << 18,
+        max_chunks: int | None = None,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 0,
+        resume_from: str | None = None,
+    ):
+        """Streaming mode: fixed-size chunks with carried block state.
+
+        With ``checkpoint_path`` + ``checkpoint_every=k`` the per-block state
+        pytrees and the stream offset are snapshotted every k chunks;
+        ``resume_from`` restarts from such a snapshot.
+        """
         sources = [n for n in self.nodes if isinstance(n.block, SourceBlock)]
         if not sources:
             raise ValueError("graph has no sources")
@@ -167,11 +179,26 @@ class Graph:
             total = max_chunks * chunk_size
         else:
             total = min(t for t in totals)
+        # max_chunks also bounds how many chunks THIS call processes (used
+        # for checkpoint-then-resume workflows on bounded sources).
 
         states = {n.idx: n.block.init_state() for n in self.nodes}
         offset = 0
+        if resume_from is not None:
+            from .utils.checkpoint import load_checkpoint
+
+            states, offset, extra = load_checkpoint(resume_from, states)
+            names = [n.block.name() for n in self.nodes]
+            if extra.get("blocks") is not None and extra["blocks"] != names:
+                raise ValueError(
+                    f"checkpoint was taken on a different graph: "
+                    f"{extra['blocks']} vs {names}"
+                )
+        chunk_count = 0
         out_offsets: dict[int, int] = {}
         while offset < total and not self._token.is_cancelled():
+            if max_chunks is not None and chunk_count >= max_chunks:
+                break
             n_chunk = min(chunk_size, total - offset)
             values: dict[tuple[int, int], Any] = {}
             tags: dict[tuple[int, int], list[Tag]] = {}
@@ -209,6 +236,18 @@ class Graph:
                     values[(node.idx, i)] = o
                     tags[(node.idx, i)] = ot
             offset += n_chunk
+            chunk_count += 1
+            if (
+                checkpoint_path
+                and checkpoint_every
+                and chunk_count % checkpoint_every == 0
+            ):
+                from .utils.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_path, states, offset,
+                    extra={"blocks": [n.block.name() for n in self.nodes]},
+                )
         for node in self.nodes:
             if hasattr(node.block, "finish"):
                 node.block.finish()

@@ -28,10 +28,13 @@ def fm_demod_chain(
     deci: int = 4,
     gain: float = 1.0,
 ):
-    """IQ -> FM audio: FFT low-pass, decimate, quadrature demod."""
+    """IQ -> FM audio: fused FFT low-pass + frequency-domain decimation +
+    quadrature demod (strided slices lower to gathers on TPU; the fused op
+    decimates by spectrum folding instead)."""
+    from ..ops.fft_filter import fft_filter_decimate
+
     lp = tapgen.low_pass_complex(samp_rate, cutoff, twidth, "hamming")
-    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
-    x = x[::deci]
+    x = fft_filter_decimate(jnp.asarray(iq, jnp.complex64), lp, deci)
     return ops.quadrature_demod(x, gain)
 
 

@@ -81,6 +81,47 @@ def fft_filter(x, taps, fft_size: int | None = None):
     return y
 
 
+def fft_filter_decimate(x, taps, deci: int, fft_size: int | None = None):
+    """Fused filter + decimation in the frequency domain.
+
+    Computes ``fft_filter(x, taps)[::deci]`` with zero gathers: decimation
+    in time is spectrum aliasing, so each overlap-save frame folds its
+    spectrum ``deci``-fold and takes a ``fft_size/deci``-point IFFT — less
+    FFT work than the undecimated filter and contiguous outputs.  TPU
+    strided slices lower to gathers (~100x slower than this).
+    """
+    if deci == 1:
+        return fft_filter(x, taps, fft_size)
+    x = jnp.asarray(x)
+    taps = np.asarray(taps)
+    n = x.shape[0]
+    ntaps = len(taps)
+    overlap = ntaps - 1
+    if fft_size is None:
+        fft_size = max(_pick_fft_size(ntaps, n), 4 * deci)
+    if fft_size % deci:
+        raise ValueError(f"fft_size {fft_size} not divisible by deci {deci}")
+    # hop must be a multiple of deci so every frame starts on the global
+    # decimation grid; then the frame-local overlap o' = fft_size - hop is
+    # also a deci multiple (fft_size % deci == 0), so the in-frame grid is
+    # t = o' + deci*j with no fractional phase.
+    hop = (fft_size - overlap) // deci * deci
+    o2 = fft_size - hop
+    if hop <= 0 or o2 > hop:
+        raise ValueError("fft_size too small for taps and deci")
+    frames, nblocks = overlap_save_frames(x, o2, hop)
+    taps_fft = np.fft.fft(np.asarray(taps, np.complex128), fft_size)
+    h = jnp.asarray((taps_fft / deci).astype(np.complex64))
+    spec = jnp.fft.fft(frames.astype(jnp.complex64), axis=-1) * h[None, :]
+    # Decimation in time == aliasing in frequency: fold deci-fold, small IFFT.
+    folded = spec.reshape(nblocks, deci, fft_size // deci).sum(axis=1)
+    w = jnp.fft.ifft(folded, axis=-1)  # w[b, u] = z_b[deci*u]
+    ofs = o2 // deci
+    y = w[:, ofs : ofs + hop // deci].reshape(-1)
+    m = -(-n // deci)
+    return y[:m]
+
+
 def fft_filter_float(x, taps, fft_size: int | None = None):
     """Float-in/float-out FFT filter (reference FftFilterFloat,
     src/fft_filter.rs:357-491, which runs the complex filter and takes re)."""

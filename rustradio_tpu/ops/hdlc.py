@@ -89,6 +89,109 @@ def _find_right_crc(data: np.ndarray, got: int, fix_bits: bool):
     return None, crc, False
 
 
+class HdlcStateMachine:
+    """Resumable HDLC deframer state machine (reference
+    src/hdlc_deframer.rs:123-231).  ``feed(bits)`` may be called repeatedly
+    with consecutive chunks; frames spanning chunk boundaries decode once.
+    """
+
+    def __init__(
+        self,
+        min_size: int = 1,
+        max_size: int = 1500,
+        keep_checksum: bool = False,
+        fix_bits: bool = False,
+    ):
+        self.min_size, self.max_size = min_size, max_size
+        self.keep_checksum, self.fix_bits = keep_checksum, fix_bits
+        self.stats = {"decoded": 0, "crc_error": 0, "bitfixed": 0}
+        self.state = "unsynced"
+        self.shift = 0xFF
+        self.ones = 0
+        self.cur: list[int] = []
+        self.stream_pos = 0
+
+    def _finish(self, packets, pos: int) -> None:
+        nbits = len(self.cur) - 7  # strip partial flag
+        if nbits < 0:
+            return
+        b = np.asarray(self.cur[:nbits], np.uint8)
+        if nbits % 8 != 0 or nbits // 8 < self.min_size:
+            return
+        by = _bits_to_bytes_lsb(b)
+        if self.keep_checksum:
+            self.stats["decoded"] += 1
+            packets.append((by, pos))
+            return
+        if len(by) < 2:
+            return
+        data, got = by[:-2], int(by[-2]) | (int(by[-1]) << 8)
+        nd, crc, fixed = _find_right_crc(data, got, self.fix_bits)
+        if fixed:
+            self.stats["bitfixed"] += 1
+        if nd is not None:
+            data = nd
+        if crc != got:
+            self.stats["crc_error"] += 1
+            return
+        self.stats["decoded"] += 1
+        packets.append((data, pos))
+
+    def feed(self, bits) -> list[tuple[np.ndarray, int]]:
+        packets: list[tuple[np.ndarray, int]] = []
+        for bit in np.asarray(bits, np.uint8):
+            bit = int(bit)
+            pos = self.stream_pos
+            self.stream_pos += 1
+            if self.state == "unsynced":
+                self.shift = ((self.shift >> 1) | (bit << 7)) & 0xFF
+                if self.shift == 0x7E:
+                    self.state = "synced"
+                    self.ones = 0
+                    self.cur = []
+            elif self.state == "synced":
+                if len(self.cur) > self.max_size * 8:
+                    self.state = "unsynced"
+                    self.shift = 0xFF
+                    continue
+                if bit:
+                    self.cur.append(1)
+                    if self.ones == 5:
+                        self.state = "final"
+                    else:
+                        self.ones += 1
+                elif self.ones == 5:
+                    self.ones = 0  # stuffed bit, drop
+                else:
+                    self.cur.append(0)
+                    self.ones = 0
+            else:  # final check: 6 ones seen, this bit must be 0
+                if bit == 1 or len(self.cur) < 7:
+                    self.state = "unsynced"
+                    self.shift = 0xFF
+                    continue
+                self._finish(packets, pos)
+                self.state = "synced"
+                self.ones = 0
+                self.cur = []
+        return packets
+
+    def snapshot(self) -> dict:
+        return {
+            "state": self.state, "shift": self.shift, "ones": self.ones,
+            "cur": list(self.cur), "stream_pos": self.stream_pos,
+            "stats": dict(self.stats),
+        }
+
+    def restore(self, snap: dict) -> None:
+        self.state = snap["state"]
+        self.shift = snap["shift"]
+        self.ones = snap["ones"]
+        self.cur = list(snap["cur"])
+        self.stream_pos = snap["stream_pos"]
+        self.stats = dict(snap["stats"])
+
+
 def hdlc_deframe(
     bits,
     min_size: int = 1,
@@ -96,83 +199,15 @@ def hdlc_deframe(
     keep_checksum: bool = False,
     fix_bits: bool = False,
 ):
-    """Deframe a 0/1 bit array into packets.
+    """Deframe a 0/1 bit array into packets (one-shot form).
 
     Returns (packets, stats) where packets is a list of (bytes, stream_pos)
     and stats counts decoded/crc_error/bitfixed like the reference's Drop
     logging (src/hdlc_deframer.rs:103-110).
     """
-    bits = np.asarray(bits, np.uint8)
-    packets: list[tuple[np.ndarray, int]] = []
-    stats = {"decoded": 0, "crc_error": 0, "bitfixed": 0}
-
-    # Vectorized flag hunt: v[n] = bits[n-7..n+1] LSB-first == 0x7e.
-    # The state machine is then only walked from flag to flag.
-    state = "unsynced"
-    shift = 0xFF
-    ones = 0
-    cur: list[int] = []
-
-    def finish(cur_bits: list[int], pos: int) -> None:
-        nbits = len(cur_bits) - 7  # strip partial flag
-        if nbits < 0:
-            return
-        b = np.asarray(cur_bits[:nbits], np.uint8)
-        if nbits % 8 != 0 or nbits // 8 < min_size:
-            return
-        by = _bits_to_bytes_lsb(b)
-        if keep_checksum:
-            stats["decoded"] += 1
-            packets.append((by, pos))
-            return
-        if len(by) < 2:
-            return
-        data, got = by[:-2], int(by[-2]) | (int(by[-1]) << 8)
-        nd, crc, fixed = _find_right_crc(data, got, fix_bits)
-        if fixed:
-            stats["bitfixed"] += 1
-        if nd is not None:
-            data = nd
-        if crc != got:
-            stats["crc_error"] += 1
-            return
-        stats["decoded"] += 1
-        packets.append((data, pos))
-
-    for pos, bit in enumerate(bits):
-        bit = int(bit)
-        if state == "unsynced":
-            shift = ((shift >> 1) | (bit << 7)) & 0xFF
-            if shift == 0x7E:
-                state = "synced"
-                ones = 0
-                cur = []
-        elif state == "synced":
-            if len(cur) > max_size * 8:
-                state = "unsynced"
-                shift = 0xFF
-                continue
-            if bit:
-                cur.append(1)
-                if ones == 5:
-                    state = "final"
-                else:
-                    ones += 1
-            elif ones == 5:
-                ones = 0  # stuffed bit, drop
-            else:
-                cur.append(0)
-                ones = 0
-        else:  # final check: 6 ones seen, this bit must be 0
-            if bit == 1 or len(cur) < 7:
-                state = "unsynced"
-                shift = 0xFF
-                continue
-            finish(cur, pos)
-            state = "synced"
-            ones = 0
-            cur = []
-    return packets, stats
+    sm = HdlcStateMachine(min_size, max_size, keep_checksum, fix_bits)
+    packets = sm.feed(bits)
+    return packets, sm.stats
 
 
 def hdlc_bit_hunt(bits):

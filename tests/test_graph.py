@@ -221,3 +221,24 @@ def test_head_and_skip_streaming():
     g.chain(blocks.VectorSource(x), blocks.Skip(10), blocks.Head(20), sink)
     g.run_stream(chunk_size=7)
     np.testing.assert_array_equal(sink.data(), x[10:30])
+
+
+def test_hdlc_streaming_no_duplicates():
+    # frames spanning chunk boundaries must decode exactly once
+    payload1 = np.frombuffer(b"FRAME NUMBER ONE X", np.uint8)
+    payload2 = np.frombuffer(b"SECOND FRAME HERE!", np.uint8)
+    bits = np.concatenate(
+        [ops.hdlc_frame(ops.fcs_add(p)) for p in (payload1, payload2)]
+    )
+    g = Graph()
+    hdlc = blocks.HdlcDeframer(1, 100)
+    collected = []
+    n = g.add(blocks.VectorSource(bits))
+    d = g.add(hdlc, n)
+    sink = g.add(blocks.Map(lambda p: collected.extend(p) or (), "collect"), d)
+    sink.block.n_out = 0
+    g.run_stream(chunk_size=97)  # misaligned with frame boundaries
+    assert hdlc.stats["decoded"] == 2
+    assert [bytes(np.asarray(p.data)) for p in collected] == [
+        bytes(payload1), bytes(payload2)
+    ]

@@ -567,3 +567,23 @@ def test_fft_pdu():
     x = (np.random.RandomState(17).randn(64)).astype(np.complex64)
     got = np.asarray(ops.fft_pdu(x))
     np.testing.assert_allclose(got, np.fft.fft(x), atol=1e-3)
+
+
+def test_fft_filter_decimate_matches_slice():
+    from rustradio_tpu.ops.fft_filter import fft_filter_decimate
+
+    rng = np.random.RandomState(20)
+    for n, ntaps, deci, fft in [(5000, 49, 4, None), (4096, 31, 3, 768), (7777, 63, 8, 4096)]:
+        x = (rng.randn(n) + 1j * rng.randn(n)).astype(np.complex64)
+        taps = rng.randn(ntaps).astype(np.complex64)
+        got = np.asarray(fft_filter_decimate(x, taps, deci, fft))
+        want = np.asarray(ops.fft_filter(x, taps))[::deci]
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_fft_filter_decimate_validates():
+    from rustradio_tpu.ops.fft_filter import fft_filter_decimate
+
+    with pytest.raises(ValueError, match="not divisible"):
+        fft_filter_decimate(np.ones(100, np.complex64), np.ones(9), 3, 1024)

@@ -1,0 +1,64 @@
+"""Checkpoint/resume and stats utilities."""
+
+import numpy as np
+
+from rustradio_tpu import blocks
+from rustradio_tpu.graph import Graph
+from rustradio_tpu.utils import RateMeter, load_checkpoint, save_checkpoint
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    states = {
+        0: {"hist": jnp.arange(5, dtype=jnp.float32), "phase": jnp.float32(1.5)},
+        1: None,
+        2: (jnp.uint8(1), jnp.zeros(3, jnp.complex64)),
+    }
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, states, offset=12345, extra={"note": "hi"})
+    templates = {
+        0: {"hist": jnp.zeros(5, jnp.float32), "phase": jnp.float32(0)},
+        1: None,
+        2: (jnp.uint8(0), jnp.zeros(3, jnp.complex64)),
+    }
+    got, offset, extra = load_checkpoint(p, templates)
+    assert offset == 12345
+    assert extra == {"note": "hi"}
+    np.testing.assert_array_equal(np.asarray(got[0]["hist"]), np.arange(5))
+    assert float(np.asarray(got[0]["phase"])) == 1.5
+    assert got[1] is None
+
+
+def test_stream_resume_matches_uninterrupted(tmp_path):
+    rng = np.random.RandomState(0)
+    x = rng.randn(2000).astype(np.float32)
+    taps = rng.randn(21).astype(np.float32)
+    ckpt = str(tmp_path / "c.npz")
+
+    # Uninterrupted run.
+    g1 = Graph()
+    s1 = blocks.VectorSink()
+    g1.chain(blocks.VectorSource(x), blocks.FirFilter(taps), blocks.SinglePoleIirFilter(0.2), s1)
+    g1.run_stream(chunk_size=250)
+
+    # Run half, checkpointing every chunk, then "crash" and resume.
+    g2 = Graph()
+    s2 = blocks.VectorSink()
+    g2.chain(blocks.VectorSource(x), blocks.FirFilter(taps), blocks.SinglePoleIirFilter(0.2), s2)
+    g2.run_stream(chunk_size=250, max_chunks=4, checkpoint_path=ckpt, checkpoint_every=1)
+
+    g3 = Graph()
+    s3 = blocks.VectorSink()
+    g3.chain(blocks.VectorSource(x), blocks.FirFilter(taps), blocks.SinglePoleIirFilter(0.2), s3)
+    g3.run_stream(chunk_size=250, resume_from=ckpt)
+
+    resumed = np.concatenate([s2.data(), s3.data()])
+    np.testing.assert_allclose(resumed, s1.data(), atol=1e-5)
+
+
+def test_rate_meter():
+    m = RateMeter()
+    m.add(1000)
+    assert m.samples == 1000
+    assert "samples" in m.report()
