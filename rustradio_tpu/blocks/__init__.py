@@ -74,3 +74,14 @@ from .packets import (
 )
 
 __all__ = [k for k in dir() if not k.startswith("_")]
+from .io_blocks import (
+    AuDecode,
+    AuEncode,
+    CmaEqualizer,
+    ReaderSource,
+    RtlSdrDecode,
+    RtlSdrEncode,
+    Strobe,
+    TcpSource,
+    WriterSink,
+)

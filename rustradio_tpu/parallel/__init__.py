@@ -8,7 +8,7 @@ src/fft_filter.rs:336-348, src/fir.rs:493-505) becomes a left-halo exchange
 via ``ppermute`` riding ICI.
 """
 
-from .mesh import make_mesh, time_axis_spec
+from .mesh import make_mesh, make_mesh_2d, time_axis_spec
 from .halo import halo_exchange_left, halo_exchange_right
 from .sharded import (
     sharded_fft_filter,
@@ -16,11 +16,22 @@ from .sharded import (
     sharded_fm_demod,
     sharded_quadrature_demod,
 )
+from .channelizer import (
+    channelizer_fm_bank,
+    channelizer_taps,
+    pfb_channelize,
+    sharded_channelizer_fm,
+)
 
 __all__ = [
+    "channelizer_fm_bank",
+    "channelizer_taps",
     "halo_exchange_left",
     "halo_exchange_right",
     "make_mesh",
+    "make_mesh_2d",
+    "pfb_channelize",
+    "sharded_channelizer_fm",
     "sharded_fft_filter",
     "sharded_fir_filter",
     "sharded_fm_demod",

@@ -242,3 +242,76 @@ def test_hdlc_streaming_no_duplicates():
     assert [bytes(np.asarray(p.data)) for p in collected] == [
         bytes(payload1), bytes(payload2)
     ]
+
+
+def test_au_codec_blocks_roundtrip():
+    x = (np.sin(np.linspace(0, 20, 500)) * 0.5).astype(np.float32)
+    g = Graph()
+    sink = blocks.VectorSink()
+    g.chain(blocks.VectorSource(x), blocks.AuEncode(48000), blocks.AuDecode(48000), sink)
+    g.run_stream(chunk_size=77)
+    got = sink.data()
+    want = np.trunc(x * 32767).astype(np.float32) / 32767
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_rtlsdr_codec_blocks():
+    iq = ((np.random.RandomState(0).randint(0, 256, 64) - 127) * 0.008).astype(np.float32)
+    x = (iq[0::2] + 1j * iq[1::2]).astype(np.complex64)
+    g = Graph()
+    sink = blocks.VectorSink()
+    g.chain(blocks.VectorSource(x), blocks.RtlSdrEncode(), blocks.RtlSdrDecode(), sink)
+    g.run()
+    np.testing.assert_allclose(sink.data(), x, atol=1e-5)
+
+
+def test_cma_equalizer_window_slides():
+    # reference src/cma.rs test: step_size 0, identity taps => passthrough
+    x = np.asarray([1, 2, 3], np.complex64)
+    g = Graph()
+    sink = blocks.VectorSink()
+    g.chain(blocks.VectorSource(x), blocks.CmaEqualizer(2, 1.0, 0.0), sink)
+    g.run()
+    np.testing.assert_allclose(sink.data(), x[:2])
+
+
+def test_cma_equalizer_converges_on_gain_error():
+    # QPSK scaled by 0.5: CMA must restore unit modulus (tap0 -> 2.0)
+    rng = np.random.RandomState(5)
+    sym = np.exp(2j * np.pi * rng.randint(0, 4, 6000) / 4).astype(np.complex64)
+    g = Graph()
+    sink = blocks.VectorSink()
+    g.chain(
+        blocks.VectorSource((0.5 * sym).astype(np.complex64)),
+        blocks.CmaEqualizer(3, 1.0, 1e-2),
+        sink,
+    )
+    g.run()
+    out = sink.data()
+    assert np.abs(np.abs(out[-200:]) - 1).mean() < 1e-3
+
+
+def test_cma_streaming_matches_offline():
+    rng = np.random.RandomState(6)
+    x = (rng.randn(1000) + 1j * rng.randn(1000)).astype(np.complex64)
+
+    def build():
+        g = Graph()
+        s = blocks.VectorSink()
+        g.chain(blocks.VectorSource(x), blocks.CmaEqualizer(4, 1.0, 1e-3), s)
+        return g, s
+
+    g1, s1 = build(); g1.run()
+    g2, s2 = build(); g2.run_stream(chunk_size=173)
+    np.testing.assert_allclose(s1.data(), s2.data(), atol=1e-4)
+
+
+def test_reader_writer_blocks(tmp_path):
+    import io as pyio
+
+    data = np.random.RandomState(7).randint(0, 256, 300).astype(np.uint8)
+    out = pyio.BytesIO()
+    g = Graph()
+    g.chain(blocks.ReaderSource(pyio.BytesIO(data.tobytes())), blocks.WriterSink(out))
+    g.run()
+    assert out.getvalue() == data.tobytes()
