@@ -62,3 +62,19 @@ def test_rate_meter():
     m.add(1000)
     assert m.samples == 1000
     assert "samples" in m.report()
+
+
+def test_spectrogram_and_render():
+    import numpy as np
+    from rustradio_tpu import ops
+    from rustradio_tpu.utils.waterfall import render_ascii, spectrogram
+
+    x = np.asarray(ops.signal_source_c(8192, 8000.0, 2000.0))
+    db = np.asarray(spectrogram(x, 256))
+    assert db.shape == (32, 256)
+    # peak bin at +2 kHz = 3/4 across the DC-centered axis
+    peak = np.argmax(db.mean(axis=0))
+    assert abs(peak - (128 + 64)) <= 1
+    art = render_ascii(db, width=40, height=10)
+    assert len(art.splitlines()) == 10
+    assert render_ascii(np.zeros((0, 4))) == "(no data)"
