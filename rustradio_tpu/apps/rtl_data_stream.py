@@ -1,0 +1,114 @@
+"""Serve a downsampled IQ byte stream over the DATA_STREAM protocol
+(reference examples/rtl_data_stream.rs).
+
+The transport is stdin/stdout: RequestData control packets arrive on stdin,
+Data packets carrying the downsampled RTL-style u8 IQ stream leave on
+stdout.  The source is a capture file (no RTL-SDR hardware here); with
+``--repeat`` the file loops forever, matching a live source.
+
+Usage:
+    python -m rustradio_tpu.apps.rtl_data_stream -r capture.u8 \
+        --sample_rate 250k --downsample_rate 50k < control.bin > data.bin
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import threading
+import queue
+
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from .. import taps as tapgen
+from ..dtypes import parse_frequency
+from ..io import data_stream, rawfile
+
+
+def downsample_u8(raw_u8: np.ndarray, sample_rate: float, downsample_rate: float) -> bytes:
+    """RTL u8 IQ -> low-pass -> resample -> re-encode as RTL u8 IQ.
+
+    Mirrors the reference chain RtlSdrDecode -> FftFilter -> RationalResampler
+    -> RtlSdrEncode (examples/rtl_data_stream.rs graph body)."""
+    iq = rawfile.rtlsdr_decode(np.asarray(raw_u8, np.uint8))
+    lp = tapgen.low_pass_complex(
+        sample_rate, downsample_rate / 2.0, downsample_rate / 10.0, "hamming"
+    )
+    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
+    x = ops.rational_resampler(x, int(downsample_rate), int(sample_rate))
+    return rawfile.rtlsdr_encode(np.asarray(x)).tobytes()
+
+
+def control_reader(stdin, requests: "queue.Queue", done: threading.Event):
+    """Background thread: parse RequestData packets from stdin
+    (reference spawn_control_reader, examples/rtl_data_stream.rs:138-170)."""
+    parser = data_stream.BytesReader()
+    try:
+        while not done.is_set():
+            chunk = stdin.read(4096)
+            if not chunk:
+                break
+            for ev in parser.feed(chunk):
+                if ev[0] == "request_data":
+                    requests.put((ev[1], ev[2]))
+                elif ev[0] != "version":
+                    raise data_stream.ProtocolError(f"unexpected input: {ev[0]}")
+    except (data_stream.ProtocolError, OSError) as e:
+        print(f"protocol input error: {e}", file=sys.stderr)
+    finally:
+        done.set()
+        requests.put(None)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-r", "--read", required=True, help="RTL u8 IQ capture file")
+    p.add_argument("-s", "--sample_rate", type=parse_frequency, default=250_000.0)
+    p.add_argument("-d", "--downsample_rate", type=parse_frequency, default=50_000.0)
+    p.add_argument("--stream-id", default="rtl-sdr")
+    p.add_argument("--packet-bytes", type=int, default=16_384)
+    p.add_argument("--repeat", action="store_true", help="loop the capture")
+    opt = p.parse_args(argv)
+
+    raw = np.fromfile(opt.read, np.uint8)
+    payload = downsample_u8(raw, float(opt.sample_rate), float(opt.downsample_rate))
+
+    stdin = os.fdopen(sys.stdin.fileno(), "rb", buffering=0)
+    stdout = os.fdopen(sys.stdout.fileno(), "wb", buffering=0)
+    writer = data_stream.SyncWriter(stdout.write)
+
+    requests: "queue.Queue" = queue.Queue()
+    done = threading.Event()
+    t = threading.Thread(target=control_reader, args=(stdin, requests, done), daemon=True)
+    t.start()
+
+    pos = 0
+    while not done.is_set():
+        req = requests.get()
+        if req is None:
+            break
+        sid, window = req
+        if sid != opt.stream_id:
+            continue
+        writer.grant(sid, window)
+        # Honor the granted window in packet-sized chunks.
+        while writer.windows.get(sid, 0) > 0:
+            if pos >= len(payload):
+                if not opt.repeat:
+                    done.set()
+                    break
+                pos = 0
+            chunk = payload[pos : pos + opt.packet_bytes]
+            sent = writer.send(sid, chunk)
+            pos += sent
+            if sent == 0:
+                break
+    stdout.flush()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

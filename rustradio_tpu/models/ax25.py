@@ -119,6 +119,142 @@ def ax25_1200_rx_iq(iq, samp_rate: float, **kw) -> list[Ax25Packet]:
     return ax25_1200_rx(np.asarray(audio), 50_000.0, **kw)
 
 
+def ax25_9600_rx(
+    iq,
+    samp_rate: float,
+    new_rate: float = 50_000.0,
+    baud: float = 9600.0,
+    symbol_taps=(0.0001, 0.99999999),
+    symbol_max_deviation: float = 0.1,
+    fix_bits: bool = False,
+) -> list[Ax25Packet]:
+    """AX.25 9600 bd G3RUH receiver, traditional symbol-sync path
+    (reference examples/ax25-9600-rx.rs:136-207): 12.5 kHz channel filter ->
+    resample to 50 kHz -> FM demod -> SymbolSync(zero-crossing TED, clamped
+    IIR clock filter) -> slicer -> NRZI -> G3RUH descramble -> HDLC."""
+    lp = tapgen.low_pass_complex(samp_rate, 12_500.0, 100.0, "hamming")
+    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
+    x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
+    nrz = ops.quadrature_demod(x, 1.0)
+    (vals, mask, _), _ = ops.symbol_sync(
+        nrz, float(new_rate) / baud, symbol_max_deviation, symbol_taps
+    )
+    syms = np.asarray(vals)[np.asarray(mask)]
+    bits = ops.binary_slicer(jnp.asarray(syms))
+    bits = ops.nrzi_decode(bits)
+    bits = np.asarray(ops.descramble(bits))
+    packets, _ = ops.hdlc_deframe(bits, 10, 1500, fix_bits=fix_bits)
+    return [Ax25Packet(np.asarray(d), int(p)) for d, p in packets]
+
+
+def ax25_1200_wpcr_rx(
+    iq,
+    samp_rate: float,
+    new_rate: float = 50_000.0,
+    iir_alpha: float = 0.01,
+    threshold: float = 0.0001,
+    tail: int = 50,
+    fix_bits: bool = False,
+) -> list[Ax25Packet]:
+    """AX.25 1200 bd AFSK burst receiver with whole-packet clock recovery
+    (reference examples/ax25-1200-wpcr.rs:45-135): channel filter -> resample
+    -> FM demod -> Hilbert -> second FM demod (AFSK tone discriminator) ->
+    2.4 kHz low-pass -> power-gated burst capture -> Midpointer -> WPCR ->
+    slicer -> NRZI -> HDLC (no descrambler at 1200 bd)."""
+    lp = tapgen.low_pass_complex(samp_rate, 20_000.0, 100.0, "hamming")
+    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
+    x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
+    power = ops.single_pole_iir(ops.complex_to_mag2(x), iir_alpha)
+    fm = ops.quadrature_demod(x, 1.0)
+    analytic = ops.hilbert_transform(fm, 65, "hamming")
+    afsk = ops.quadrature_demod(analytic, 1.0)
+    lp2 = tapgen.low_pass(new_rate, 2400.0, 100.0, "hamming")
+    nrz = ops.fft_filter_float(afsk, lp2)
+    n = min(int(nrz.shape[0]), int(power.shape[0]))
+    start, end = ops.burst_tagger(power[:n], threshold)
+    bursts = ops.stream_to_pdu(
+        np.asarray(nrz)[:n], np.asarray(start), np.asarray(end), int(new_rate), tail
+    )
+    packets: list[Ax25Packet] = []
+    for burst in bursts:
+        centered, ok = ops.midpoint(jnp.asarray(burst))
+        if not bool(np.asarray(ok)):
+            continue
+        samples, mask, info = ops.wpcr(centered)
+        if not bool(np.asarray(info["found"])):
+            continue
+        syms = np.asarray(samples)[np.asarray(mask)]
+        bits = np.asarray(ops.nrzi_decode(ops.binary_slicer(jnp.asarray(syms))))
+        pkts, _ = ops.hdlc_deframe(bits, 10, 1500, fix_bits=fix_bits)
+        packets.extend(Ax25Packet(np.asarray(d), int(p)) for d, p in pkts)
+    return packets
+
+
+def il2p_1200_rx(
+    iq,
+    samp_rate: float,
+    symbol_taps=(0.5, 0.5),
+    symbol_max_deviation: float = 0.5,
+):
+    """IL2P 1200 bd AFSK receiver (reference examples/il2p-1200-rx.rs:57-146):
+    AFSK discriminator front-end -> SymbolSync -> slicer -> invert ->
+    IL2P sync hunt + header decode.  Returns a list of Il2pHeader."""
+    from ..ops.il2p import il2p_deframe
+
+    new_rate = 50_000.0
+    lp = tapgen.low_pass_complex(samp_rate, 20_000.0, 100.0, "hamming")
+    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
+    x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
+    fm = ops.quadrature_demod(x, 1.0)
+    analytic = ops.hilbert_transform(fm, 65, "hamming")
+    afsk = ops.quadrature_demod(analytic, 1.0)
+    lp2 = tapgen.low_pass(new_rate, 1100.0, 100.0, "hamming")
+    nrz = ops.fft_filter_float(afsk, lp2)
+    nrz = ops.add_const(nrz, -jnp.float32(2.0 * np.pi * 1700.0 / new_rate))
+    (vals, mask, _), _ = ops.symbol_sync(
+        nrz, new_rate / 1200.0, symbol_max_deviation, symbol_taps
+    )
+    syms = np.asarray(vals)[np.asarray(mask)]
+    bits = np.asarray(ops.binary_slicer(jnp.asarray(syms))) ^ 1
+    return il2p_deframe(bits)
+
+
+def g3ruh_modulate(
+    frames,
+    sample_rate: float,
+    baud: float = 9600.0,
+    if_rate: float = 48_000.0,
+    deviation: float = 3000.0,
+    amplitude: float = 0.5,
+) -> np.ndarray:
+    """G3RUH FSK transmitter (the TX half of reference examples/g3ruh.rs:
+    246-289): HDLC frame -> G3RUH scramble -> NRZI -> upsample to IF rate ->
+    bits to +/-deviation -> VCO -> amplitude -> resample to RF rate ->
+    8.8 kHz channel low-pass.  Returns complex64 baseband."""
+    chunks = []
+    for frame in frames:
+        chunks.append(ops.hdlc_frame(ops.fcs_add(np.asarray(frame, np.uint8))))
+        # Inter-frame idle; also flushes the scrambler register (its output
+        # is the input delayed by length+1 = 17 clocks).
+        chunks.append(np.zeros(max(17, int(baud * 0.05)), np.uint8))
+    if not chunks:
+        return np.zeros(0, np.complex64)
+    bits = np.concatenate(chunks)
+    # One continuous LFSR over the whole stream, like the reference's
+    # streaming Scrambler block.
+    scrambled, _ = ops.scramble(jnp.asarray(bits, jnp.uint8))
+    line = np.asarray(ops.nrzi_encode(scrambled))
+    line = np.asarray(
+        ops.rational_resampler(jnp.asarray(line, jnp.float32), int(if_rate), int(baud))
+    )
+    pn = np.where(line > 0, deviation, -deviation).astype(np.float32)
+    iq, _ = ops.vco(jnp.asarray(pn), 2.0 * np.pi / if_rate)
+    iq = iq * np.float32(amplitude)
+    iq = ops.rational_resampler(iq, int(sample_rate), int(if_rate))
+    lp = tapgen.low_pass_complex(sample_rate, 8_800.0, 1_000.0, "hamming")
+    return np.asarray(ops.fft_filter(iq, lp))
+
+
 def ax25_9600_wpcr_rx(
     iq,
     samp_rate: float,

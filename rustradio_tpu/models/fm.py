@@ -38,6 +38,24 @@ def fm_demod_chain(
     return ops.quadrature_demod(x, gain)
 
 
+def am_rx(
+    iq,
+    samp_rate: float,
+    audio_rate: float = 48_000.0,
+    volume: float = 1.0,
+):
+    """AM receiver (reference examples/airspy_am_decode.rs:48-83):
+    12.5 kHz channel filter -> envelope (|x|) -> audio low-pass ->
+    resample to audio rate -> volume."""
+    lp = tapgen.low_pass_complex(samp_rate, 12_500.0, 10_000.0, "hamming")
+    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
+    env = jnp.abs(x)
+    lp2 = tapgen.low_pass(samp_rate, audio_rate, 500.0, "hamming")
+    audio = ops.fft_filter_float(env, lp2)
+    audio = ops.rational_resampler(audio, int(audio_rate), int(samp_rate))
+    return audio * jnp.float32(volume)
+
+
 def wbfm_rx(
     iq,
     samp_rate: float,
