@@ -1,0 +1,72 @@
+"""Live browser dashboard: spectrum + waterfall over HTTP
+(the reference's rustradio-ui browser UI, rustradio-ui/src/lib.rs:44-62).
+
+Usage:
+    python -m rustradio_tpu.apps.ui_server -r capture.c32 --sample_rate 250k
+    # then open the printed URL
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..dtypes import parse_frequency
+from ..io import au, rawfile
+from ..ui import SpectrumFeed, UiServer
+
+
+def iq_chunks(path: str, fmt: str, chunk: int, loop: bool):
+    if fmt == "au":
+        data, _ = au.au_read(path)
+        data = data.astype(np.complex64)
+    elif fmt == "u8":
+        data = rawfile.rtlsdr_decode(np.fromfile(path, np.uint8))
+    else:
+        data = rawfile.read_samples(path, "c32")
+    while True:
+        for i in range(0, len(data) - chunk + 1, chunk):
+            yield data[i : i + chunk]
+        if not loop:
+            return
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-r", "--read", required=True, help="capture file")
+    p.add_argument("-f", "--format", choices=["c32", "u8", "au"], default="c32")
+    p.add_argument("--sample_rate", type=parse_frequency, required=True)
+    p.add_argument("--freq", type=parse_frequency, default=0.0, help="center frequency label")
+    p.add_argument("--fft_size", type=int, default=512)
+    p.add_argument("--fps", type=float, default=20.0)
+    p.add_argument("--port", type=int, default=8450)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--once", action="store_true", help="don't loop the capture")
+    opt = p.parse_args(argv)
+
+    chunk = max(int(opt.sample_rate / 4), opt.fft_size)
+    feed = SpectrumFeed(
+        iq_chunks(opt.read, opt.format, chunk, not opt.once),
+        samp_rate=float(opt.sample_rate),
+        fft_size=opt.fft_size,
+        center_freq=float(opt.freq),
+        fps=opt.fps,
+    )
+    srv = UiServer(feed, host=opt.host, port=opt.port).start()
+    print(f"serving on {srv.address}", file=sys.stderr)
+    try:
+        while feed.is_alive():
+            time.sleep(0.5)
+        print("capture exhausted; serving final state (Ctrl-C to exit)", file=sys.stderr)
+        while True:
+            time.sleep(1)
+    except KeyboardInterrupt:
+        srv.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

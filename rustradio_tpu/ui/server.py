@@ -1,0 +1,166 @@
+"""HTTP server for the live spectrum/waterfall dashboard.
+
+Stdlib-only (http.server); frames are produced by a background feed thread
+running the device-side batched spectrogram (utils/waterfall.py) and polled
+by the page with incremental ``/api/frames?since=`` requests — the same
+snoop-a-stream model as the reference's UI worker protocol
+(rustradio-ui/src/lib.rs:44-62, doc/ui.md "stream snooping").
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import os
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+_HTML_PATH = os.path.join(os.path.dirname(__file__), "index.html")
+
+
+class SpectrumFeed(threading.Thread):
+    """Pulls IQ chunks from an iterator, keeps a ring of dB spectrum rows."""
+
+    def __init__(
+        self,
+        chunks,
+        samp_rate: float,
+        fft_size: int = 512,
+        center_freq: float = 0.0,
+        fps: float = 20.0,
+        history: int = 512,
+        realtime: bool = True,
+        stats_fn=None,
+    ):
+        super().__init__(daemon=True)
+        self.chunks = chunks
+        self.samp_rate = float(samp_rate)
+        self.fft_size = int(fft_size)
+        self.center_freq = float(center_freq)
+        self.fps = float(fps)
+        self.realtime = realtime
+        self.stats_fn = stats_fn
+        self.rows: collections.deque = collections.deque(maxlen=history)
+        self.seq = 0  # sequence number of the NEXT row to be appended
+        self.lock = threading.Lock()
+        self.done = False
+
+    def run(self):
+        from ..utils.waterfall import spectrogram
+
+        try:
+            # One spectrum row per 1/fps seconds of signal.
+            hop = max(int(self.samp_rate / self.fps), self.fft_size)
+            for chunk in self.chunks:
+                t0 = time.time()
+                db = np.asarray(spectrogram(chunk, self.fft_size, hop))
+                with self.lock:
+                    for row in db:
+                        self.rows.append(row.astype(np.float32))
+                        self.seq += 1
+                if self.realtime:
+                    budget = len(chunk) / self.samp_rate
+                    delay = budget - (time.time() - t0)
+                    if delay > 0:
+                        time.sleep(delay)
+        except Exception:  # surface feed failures instead of dying silently
+            import traceback
+
+            traceback.print_exc()
+        finally:
+            self.done = True
+
+    def frames_since(self, since: int, limit: int = 256):
+        with self.lock:
+            first = self.seq - len(self.rows)
+            start = max(since, first)
+            out = [self.rows[i - first] for i in range(start, min(self.seq, start + limit))]
+            return start, self.seq, out
+
+
+class _Handler(BaseHTTPRequestHandler):
+    feed: SpectrumFeed = None  # set by UiServer
+
+    def log_message(self, *a):  # quiet
+        pass
+
+    def _send(self, code: int, body: bytes, ctype: str):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.send_header("Cache-Control", "no-store")
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        url = urlparse(self.path)
+        feed = self.feed
+        if url.path in ("/", "/index.html"):
+            with open(_HTML_PATH, "rb") as f:
+                return self._send(200, f.read(), "text/html; charset=utf-8")
+        if url.path == "/api/meta":
+            meta = {
+                "samp_rate": feed.samp_rate,
+                "fft_size": feed.fft_size,
+                "center_freq": feed.center_freq,
+                "history": feed.rows.maxlen,
+                "fps": feed.fps,
+            }
+            return self._send(200, json.dumps(meta).encode(), "application/json")
+        if url.path == "/api/frames":
+            q = parse_qs(url.query)
+            since = int(q.get("since", ["0"])[0])
+            start, nxt, rows = feed.frames_since(since)
+            if rows:
+                lo = float(min(r.min() for r in rows))
+                hi = float(max(r.max() for r in rows))
+            else:
+                lo, hi = 0.0, 1.0
+            span = max(hi - lo, 1e-9)
+            # Quantize rows to u8 for compact transport.
+            quant = [
+                np.clip((r - lo) / span * 255.0, 0, 255).astype(np.uint8).tobytes().hex()
+                for r in rows
+            ]
+            body = {
+                "start": start,
+                "next": nxt,
+                "lo": lo,
+                "hi": hi,
+                "done": feed.done,
+                "rows": quant,
+            }
+            return self._send(200, json.dumps(body).encode(), "application/json")
+        if url.path == "/api/stats":
+            text = feed.stats_fn() if feed.stats_fn else ""
+            return self._send(200, json.dumps({"text": text}).encode(), "application/json")
+        self._send(404, b"not found", "text/plain")
+
+
+class UiServer:
+    """Serves the dashboard for one SpectrumFeed."""
+
+    def __init__(self, feed: SpectrumFeed, host: str = "127.0.0.1", port: int = 0):
+        handler = type("Handler", (_Handler,), {"feed": feed})
+        self.httpd = ThreadingHTTPServer((host, port), handler)
+        self.feed = feed
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+
+    @property
+    def address(self) -> str:
+        h, p = self.httpd.server_address[:2]
+        return f"http://{h}:{p}"
+
+    def start(self):
+        if not self.feed.is_alive():
+            self.feed.start()
+        self.thread.start()
+        return self
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
