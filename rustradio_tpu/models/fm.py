@@ -28,14 +28,21 @@ def fm_demod_chain(
     deci: int = 4,
     gain: float = 1.0,
 ):
-    """IQ -> FM audio: fused FFT low-pass + frequency-domain decimation +
-    quadrature demod (strided slices lower to gathers on TPU; the fused op
-    decimates by spectrum folding instead)."""
+    """IQ -> FM audio: fused channel low-pass + decimation + quadrature
+    demod.  On TPU the filter runs as the banded MXU FIR kernel
+    (ops/pallas_kernels.py, memory-bound, ~3x the overlap-save FFT path);
+    elsewhere as frequency-domain decimation (spectrum folding — strided
+    slices would lower to gathers)."""
     from ..ops.fft_filter import fft_filter_decimate
+    from ..ops.pallas_kernels import _on_tpu, pallas_fir_decimate
 
     lp = tapgen.low_pass_complex(samp_rate, cutoff, twidth, "hamming")
-    x = fft_filter_decimate(jnp.asarray(iq, jnp.complex64), lp, deci)
-    return ops.quadrature_demod(x, gain)
+    x = jnp.asarray(iq, jnp.complex64)
+    if _on_tpu():
+        y = pallas_fir_decimate(x, lp, deci)
+    else:
+        y = fft_filter_decimate(x, lp, deci)
+    return ops.quadrature_demod(y, gain)
 
 
 def am_rx(

@@ -39,5 +39,6 @@ from .burst import burst_tagger, stream_to_pdu
 from .correlate import correlate_access_code
 from .fft import fft_pdu, fft_stream
 from .signal import signal_source_c, signal_source_f
+from .pallas_kernels import fast_atan2, pallas_fir_decimate, pallas_quad_demod
 
 __all__ = [k for k in dir() if not k.startswith("_")]

