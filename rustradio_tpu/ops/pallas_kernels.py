@@ -136,25 +136,27 @@ def pallas_quad_demod(x, gain: float = 1.0, tile_rows: int = 1024):
 
 # ---------------------------------------------------------------- FIR
 
-def _fir_band_kernel(xm_ref, xh_ref, w_ref, out_ref, *, deci, nshift, rows):
+def _fir_band_kernel(xm_ref, xh_ref, w_ref, out_ref, *, deci, nq, rows):
     # xm: (rows*deci, 128) input rows for this tile; xh: the next tile's
-    # input rows, of which the first nshift-1 are the halo; w: banded
-    # weights (nshift*128, 128).  Output row r, lane o (the output sample
+    # input rows, of which the first nq*deci are the halo; w: banded
+    # weights (nq*deci*128, 128).  Output row r, lane o (the output sample
     # m = 128*(tile_row0 + r) + o) is
     #   sum_j X[r*deci + j] @ W_j[:, o]
     # where X[q][l] = xp[128*q + l] and W_j[l, o] = trev[j*128 + l - deci*o].
-    if nshift > 1:
-        X = jnp.concatenate([xm_ref[:], xh_ref[: nshift - 1]], axis=0)
-    else:
-        X = xm_ref[:]
+    # The shifts are grouped deci at a time: flattening deci consecutive
+    # input rows to one (deci*128)-long row turns every group into a plain
+    # row slice + contiguous reshape (no sublane-strided relayouts), so a
+    # tile is just nq MXU dots of (rows, deci*128) x (deci*128, 128).
+    X = jnp.concatenate([xm_ref[:], xh_ref[:]], axis=0)
+    X2 = X.reshape(rows + nq, deci * 128)
     acc = jnp.zeros((rows, 128), jnp.float32)
-    for j in range(nshift):
-        S = X[j : j + rows * deci].reshape(rows, deci, 128)[:, 0, :]
+    step = deci * 128
+    for q in range(nq):
         # HIGHEST = bf16x3 passes; the MXU's default single bf16 pass costs
         # ~0.5% error, far over the framework's 1e-3 parity budget.
         acc = acc + jnp.dot(
-            S,
-            w_ref[j * 128 : (j + 1) * 128],
+            X2[q : q + rows],
+            w_ref[q * step : (q + 1) * step],
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -162,18 +164,19 @@ def _fir_band_kernel(xm_ref, xh_ref, w_ref, out_ref, *, deci, nshift, rows):
 
 
 def _fir_band_weights(taps: np.ndarray, deci: int):
-    """(trev_padded, W stack (nshift*128, 128)) for the banded kernel."""
+    """Banded weight stack ((nq*deci)*128, 128) for the banded kernel."""
     ntaps = len(taps)
     wlen = -(-ntaps // deci) * deci
     trp = np.zeros(wlen, np.float32)
     trp[wlen - ntaps :] = taps[::-1]
     nshift = (deci * 127 + wlen - 1) // 128 + 1
-    w = np.zeros((nshift, 128, 128), np.float32)
-    j, l, o = np.ogrid[:nshift, :128, :128]
+    nq = -(-nshift // deci)  # shift groups of deci (trailing W_j all-zero)
+    w = np.zeros((nq * deci, 128, 128), np.float32)
+    j, l, o = np.ogrid[: nq * deci, :128, :128]
     k = j * 128 + l - deci * o
     valid = (k >= 0) & (k < wlen)
     w[valid] = trp[k[valid]]
-    return wlen, nshift, w.reshape(nshift * 128, 128)
+    return wlen, nq, w.reshape(nq * deci * 128, 128)
 
 
 def pallas_fir_decimate(x, taps, deci: int, tile_rows: int | None = None):
@@ -217,26 +220,35 @@ def pallas_fir_decimate(x, taps, deci: int, tile_rows: int | None = None):
         trp[wlen - ntaps :] = taps[::-1]
         return frames @ jnp.asarray(trp)
 
-    wlen, nshift, w = _fir_band_weights(taps, deci)
+    wlen, nq, w = _fir_band_weights(taps, deci)
     if tile_rows is None:
-        tile_rows = max(8, min(256, 256 // deci))
+        tile_rows = 512
+    tile_rows = max(tile_rows, nq)
+    tile_rows += (-tile_rows) % nq  # halo index map needs tile_rows % nq == 0
     mrows = -(-m // 128)
     g = -(-mrows // tile_rows)
-    # xp rows for g tiles plus one whole extra block (the halo read at i+1).
-    in_rows = (g + 1) * tile_rows * deci
+    # xp rows for g tiles plus the final tile's halo (nq*deci rows).
+    in_rows = g * tile_rows * deci + nq * deci
     xp = jnp.pad(x, (left, in_rows * 128 - n - left))
     x2d = xp.reshape(in_rows, 128)
-    kern = functools.partial(
-        _fir_band_kernel, deci=deci, nshift=nshift, rows=tile_rows
-    )
+    kern = functools.partial(_fir_band_kernel, deci=deci, nq=nq, rows=tile_rows)
+    # The halo ref fetches only the nq*deci rows past the tile, not a whole
+    # second block: its index map is in halo-block units (tile_rows // nq
+    # halo blocks per tile block, since block row counts are
+    # tile_rows*deci vs nq*deci).
+    hblocks_per_tile = tile_rows // nq
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((g * tile_rows, 128), jnp.float32),
         grid=(g,),
         in_specs=[
             pl.BlockSpec((tile_rows * deci, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_rows * deci, 128), lambda i: (i + 1, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nshift * 128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (nq * deci, 128),
+                lambda i: ((i + 1) * hblocks_per_tile, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((nq * deci * 128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )(x2d, x2d, jnp.asarray(w))
