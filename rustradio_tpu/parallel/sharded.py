@@ -27,6 +27,9 @@ def _shmap(mesh, axis, f, nout=1):
         mesh=mesh,
         in_specs=(P(axis),),
         out_specs=P(axis) if nout == 1 else tuple(P(axis) for _ in range(nout)),
+        # pallas_call out_shapes carry no varying-mesh-axes info; skip the
+        # vma check so MXU kernels can run inside the shard body.
+        check_vma=False,
     )
 
 
@@ -102,10 +105,22 @@ def sharded_fm_demod(
     if n % (n_sh * deci):
         raise ValueError(f"stream length {n} not divisible by shards*deci")
 
+    from ..ops.pallas_kernels import _on_tpu, pallas_fir_decimate
+
+    use_mxu = _on_tpu()
+
     def body(xs):
         ext = halo_exchange_left(xs, ntaps - 1, axis)
-        y = _fft_filter(ext, taps, fft_size)[ntaps - 1 :]
-        y = y[::deci]
+        if use_mxu:
+            # Align the shard's first output to the global decimation grid:
+            # left-pad so the halo offset (ntaps-1) lands on a deci multiple,
+            # then the banded MXU kernel emits exactly the local outputs.
+            p = (-(ntaps - 1)) % deci
+            y = pallas_fir_decimate(jnp.pad(ext, (p, 0)), taps, deci)
+            y = y[(p + ntaps - 1) // deci :][: xs.shape[0] // deci]
+        else:
+            y = _fft_filter(ext, taps, fft_size)[ntaps - 1 :]
+            y = y[::deci]
         ext2 = halo_exchange_right(y, 1, axis, fill=0)
         d = jnp.conj(ext2[:-1]) * ext2[1:]
         return jnp.float32(gain) * jnp.arctan2(
