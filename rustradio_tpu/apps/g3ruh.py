@@ -102,16 +102,14 @@ def main(argv=None) -> int:
             with open(opt.tx_in, "rb") as f:
                 raw = f.read()
         elif conn is not None:
-            conn.settimeout(1.0)
+            # Read the client's KISS frames until it closes (or half-closes)
+            # the connection — no idle timeout, so interactive senders work.
             parts = []
-            try:
-                while True:
-                    chunk = conn.recv(65536)
-                    if not chunk:
-                        break
-                    parts.append(chunk)
-            except TimeoutError:
-                pass
+            while True:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    break
+                parts.append(chunk)
             raw = b"".join(parts)
         else:
             raw = sys.stdin.buffer.read()

@@ -42,12 +42,13 @@ def downsample_u8(raw_u8: np.ndarray, sample_rate: float, downsample_rate: float
     return rawfile.rtlsdr_encode(np.asarray(x)).tobytes()
 
 
-def control_reader(stdin, requests: "queue.Queue", done: threading.Event):
-    """Background thread: parse RequestData packets from stdin
-    (reference spawn_control_reader, examples/rtl_data_stream.rs:138-170)."""
+def control_reader(stdin, requests: "queue.Queue"):
+    """Background thread: parse RequestData packets from stdin; None marks
+    end of control input (reference spawn_control_reader,
+    examples/rtl_data_stream.rs:138-170)."""
     parser = data_stream.BytesReader()
     try:
-        while not done.is_set():
+        while True:
             chunk = stdin.read(4096)
             if not chunk:
                 break
@@ -59,7 +60,6 @@ def control_reader(stdin, requests: "queue.Queue", done: threading.Event):
     except (data_stream.ProtocolError, OSError) as e:
         print(f"protocol input error: {e}", file=sys.stderr)
     finally:
-        done.set()
         requests.put(None)
 
 
@@ -81,31 +81,44 @@ def main(argv=None) -> int:
     writer = data_stream.SyncWriter(stdout.write)
 
     requests: "queue.Queue" = queue.Queue()
-    done = threading.Event()
-    t = threading.Thread(target=control_reader, args=(stdin, requests, done), daemon=True)
-    t.start()
+    threading.Thread(target=control_reader, args=(stdin, requests), daemon=True).start()
 
     pos = 0
-    while not done.is_set():
-        req = requests.get()
-        if req is None:
-            break
-        sid, window = req
-        if sid != opt.stream_id:
-            continue
-        writer.grant(sid, window)
-        # Honor the granted window in packet-sized chunks.
-        while writer.windows.get(sid, 0) > 0:
-            if pos >= len(payload):
-                if not opt.repeat:
-                    done.set()
-                    break
-                pos = 0
-            chunk = payload[pos : pos + opt.packet_bytes]
-            sent = writer.send(sid, chunk)
-            pos += sent
-            if sent == 0:
+    input_closed = False
+    exhausted = False
+    while not exhausted:
+        win = writer.windows.get(opt.stream_id, 0)
+        if win <= 0:
+            # Idle: wait for a new grant; on control EOF drain and exit.
+            if input_closed:
                 break
+            req = requests.get()
+        else:
+            # Between sends just drain the queue non-blockingly so a
+            # replacing RequestData (including window=0: "stop") applies
+            # immediately — the reference updates the window between every
+            # send (examples/rtl_data_stream.rs:108).
+            try:
+                req = requests.get_nowait()
+            except queue.Empty:
+                req = ()
+        if req is None:
+            input_closed = True
+            continue
+        if req:
+            sid, window = req
+            if sid == opt.stream_id:
+                writer.grant(sid, window)
+            continue
+        if pos >= len(payload):
+            if not opt.repeat:
+                exhausted = True
+                continue
+            pos = 0
+        sent = writer.send(opt.stream_id, payload[pos : pos + opt.packet_bytes])
+        pos += sent
+        if sent == 0:
+            break
     stdout.flush()
     return 0
 

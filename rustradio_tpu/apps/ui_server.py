@@ -27,9 +27,14 @@ def iq_chunks(path: str, fmt: str, chunk: int, loop: bool):
         data = rawfile.rtlsdr_decode(np.fromfile(path, np.uint8))
     else:
         data = rawfile.read_samples(path, "c32")
+    if len(data) == 0:
+        return
+    if len(data) < chunk:
+        # shorter than one chunk: tile it up so the feed still produces rows
+        data = np.tile(data, -(-chunk // len(data)))
     while True:
-        for i in range(0, len(data) - chunk + 1, chunk):
-            yield data[i : i + chunk]
+        for i in range(0, len(data), chunk):
+            yield data[i : i + chunk]  # final partial chunk included
         if not loop:
             return
 

@@ -201,16 +201,12 @@ def il2p_1200_rx(
     IL2P sync hunt + header decode.  Returns a list of Il2pHeader."""
     from ..ops.il2p import il2p_deframe
 
+    # Same front-end as the Bell-202 chain: channelize+FM demod, then the
+    # AFSK tone discriminator (examples/il2p-1200-rx.rs:76-99 is the same
+    # chain as ax25-1200-rx's audio path).
     new_rate = 50_000.0
-    lp = tapgen.low_pass_complex(samp_rate, 20_000.0, 100.0, "hamming")
-    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
-    x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
-    fm = ops.quadrature_demod(x, 1.0)
-    analytic = ops.hilbert_transform(fm, 65, "hamming")
-    afsk = ops.quadrature_demod(analytic, 1.0)
-    lp2 = tapgen.low_pass(new_rate, 1100.0, 100.0, "hamming")
-    nrz = ops.fft_filter_float(afsk, lp2)
-    nrz = ops.add_const(nrz, -jnp.float32(2.0 * np.pi * 1700.0 / new_rate))
+    fm = iq_front_end(iq, samp_rate, new_rate)
+    nrz = bell202_demod(fm, new_rate)
     (vals, mask, _), _ = ops.symbol_sync(
         nrz, new_rate / 1200.0, symbol_max_deviation, symbol_taps
     )

@@ -38,7 +38,10 @@ def fm_demod_chain(
 
     lp = tapgen.low_pass_complex(samp_rate, cutoff, twidth, "hamming")
     x = jnp.asarray(iq, jnp.complex64)
-    if _on_tpu():
+    # The banded kernel's whole weight stack lives in VMEM, so it only fits
+    # (and only wins) for short-to-medium filters; long tap sets (narrow
+    # transition widths) go through the FFT path, which handles any count.
+    if _on_tpu() and len(lp) <= 1024:
         y = pallas_fir_decimate(x, lp, deci)
     else:
         y = fft_filter_decimate(x, lp, deci)

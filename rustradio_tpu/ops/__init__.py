@@ -39,6 +39,17 @@ from .burst import burst_tagger, stream_to_pdu
 from .correlate import correlate_access_code
 from .fft import fft_pdu, fft_stream
 from .signal import signal_source_c, signal_source_f
-from .pallas_kernels import fast_atan2, pallas_fir_decimate, pallas_quad_demod
 
-__all__ = [k for k in dir() if not k.startswith("_")]
+_PALLAS_NAMES = ("fast_atan2", "pallas_fir_decimate", "pallas_quad_demod")
+
+__all__ = [k for k in dir() if not k.startswith("_")] + list(_PALLAS_NAMES)
+
+
+def __getattr__(name):
+    # Lazy: jax.experimental.pallas is a heavy import that only TPU paths
+    # need; host-only tools shouldn't pay it at package import.
+    if name in _PALLAS_NAMES:
+        from . import pallas_kernels
+
+        return getattr(pallas_kernels, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

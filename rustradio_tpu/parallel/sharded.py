@@ -107,7 +107,8 @@ def sharded_fm_demod(
 
     from ..ops.pallas_kernels import _on_tpu, pallas_fir_decimate
 
-    use_mxu = _on_tpu()
+    # VMEM-resident weight stack: MXU path only for short-to-medium filters.
+    use_mxu = _on_tpu() and ntaps <= 1024
 
     def body(xs):
         ext = halo_exchange_left(xs, ntaps - 1, axis)

@@ -48,6 +48,11 @@ class SpectrumFeed(threading.Thread):
         self.seq = 0  # sequence number of the NEXT row to be appended
         self.lock = threading.Lock()
         self.done = False
+        # Running dB scale for quantization: a slow-release envelope so the
+        # color mapping is stable across poll batches (per-batch min/max
+        # would stretch quiet noise to full scale).
+        self.lo = None
+        self.hi = None
 
     def run(self):
         from ..utils.waterfall import spectrogram
@@ -62,6 +67,14 @@ class SpectrumFeed(threading.Thread):
                     for row in db:
                         self.rows.append(row.astype(np.float32))
                         self.seq += 1
+                    if len(db):
+                        blo = float(np.percentile(db, 5))
+                        bhi = float(db.max())
+                        if self.lo is None:
+                            self.lo, self.hi = blo, bhi
+                        else:  # fast attack, slow release
+                            self.lo = min(blo, 0.98 * self.lo + 0.02 * blo)
+                            self.hi = max(bhi, 0.98 * self.hi + 0.02 * bhi)
                 if self.realtime:
                     budget = len(chunk) / self.samp_rate
                     delay = budget - (time.time() - t0)
@@ -79,7 +92,9 @@ class SpectrumFeed(threading.Thread):
             first = self.seq - len(self.rows)
             start = max(since, first)
             out = [self.rows[i - first] for i in range(start, min(self.seq, start + limit))]
-            return start, self.seq, out
+            # next = what the client has after this batch; when truncated to
+            # `limit` the client must resume from start+len, not the tip.
+            return start, start + len(out), out
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -115,11 +130,8 @@ class _Handler(BaseHTTPRequestHandler):
             q = parse_qs(url.query)
             since = int(q.get("since", ["0"])[0])
             start, nxt, rows = feed.frames_since(since)
-            if rows:
-                lo = float(min(r.min() for r in rows))
-                hi = float(max(r.max() for r in rows))
-            else:
-                lo, hi = 0.0, 1.0
+            lo = feed.lo if feed.lo is not None else 0.0
+            hi = feed.hi if feed.hi is not None else 1.0
             span = max(hi - lo, 1e-9)
             # Quantize rows to u8 for compact transport.
             quant = [
