@@ -67,15 +67,18 @@ def pfb_channelize(x, taps, n_channels: int):
     # grouped conv: lhs (batch=1, features=M, time), rhs (M, 1, L)
     lhs = xp[None, :, :]
     rhs = jnp.asarray(h.T[:, None, ::-1])  # (M, 1, L), reversed for conv
+    # HIGHEST: TPU convs default to one bf16 MXU pass (~0.5% error).
     vr = jax.lax.conv_general_dilated(
         jnp.real(lhs), rhs, (1,), [(L - 1, 0)],
         dimension_numbers=("NCW", "OIW", "NCW"), feature_group_count=M,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     vi = jax.lax.conv_general_dilated(
         jnp.imag(lhs), rhs, (1,), [(L - 1, 0)],
         dimension_numbers=("NCW", "OIW", "NCW"), feature_group_count=M,
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     v = jax.lax.complex(vr[0], vi[0])  # (M, nframes)
     # y_k[n] = sum_m e^{2 pi i k m / M} v[m, n]  ==  M * IFFT over m.
