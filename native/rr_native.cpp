@@ -18,6 +18,7 @@
 #include <cstring>
 #include <cstdio>
 #include <cmath>
+#include <vector>
 #include <thread>
 #include <chrono>
 
@@ -272,6 +273,248 @@ void rr_convert_f32_i16be(const float* src, uint8_t* dst, size_t n) {
     dst[2 * i] = (uint8_t)((uint16_t)s >> 8);
     dst[2 * i + 1] = (uint8_t)((uint16_t)s & 0xff);
   }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Symbol synchronization: zero-crossing TED + clamped IIR clock filter.
+// An exact f32 replication of the lax.scan in ops/symbol_sync.py (itself a
+// port of reference src/symbol_sync.rs:115-218) — the sequential low-rate
+// tail of a receive chain runs here at native speed while the dense
+// front-end stays on the accelerator.  Compile with -ffp-contract=off so
+// mul+add do not fuse into FMA (the scan rounds each op separately).
+// Returns the number of emitted symbols; out_vals/out_clocks must have
+// room for n floats.
+size_t rr_symbol_sync(const float* x, size_t n, float sps, float max_dev,
+                      const float* taps, size_t ntaps,
+                      float* out_vals, float* out_clocks) {
+  const float mi = sps - max_dev;
+  const float mx = sps + max_dev;
+  const int order = (int)ntaps - 1;
+  float clock = sps;
+  float stream_pos = 0.0f;
+  float last_b = 0.0f;
+  float next_mid = sps / 2.0f;
+  bool last_sign = false;
+  std::vector<float> fbuf((size_t)(order > 0 ? order : 1), sps);
+  size_t k = 0;
+  for (size_t i = 0; i < n; i++) {
+    const float sample = x[i];
+    if (stream_pos >= next_mid) {
+      out_vals[k] = sample;
+      out_clocks[k] = clock;
+      k++;
+      next_mid = next_mid + clock;
+    }
+    const bool sign = sample > 0.0f;
+    const bool changed = sign != last_sign;
+    if (changed && stream_pos > 0.0f && last_b > 0.0f) {
+      float t = stream_pos - last_b;
+      while (t > mx) {
+        const float t2 = t - clock;
+        if (std::fabs(t - clock) < std::fabs(t2 - clock)) break;
+        t = t2;
+      }
+      if (t > mi * 0.8f && t < mx * 1.2f) {
+        float ret = taps[0] * (t - sps);
+        for (int j = 0; j < order; j++) ret = ret + taps[j + 1] * fbuf[j];
+        const float lo = mi - sps, hi = mx - sps;
+        if (ret < lo) ret = lo;
+        if (ret > hi) ret = hi;
+        if (order > 0) {
+          for (int j = order - 1; j > 0; j--) fbuf[j] = fbuf[j - 1];
+          fbuf[0] = ret;
+        }
+        clock = ret + sps;
+        float nm = last_b + clock / 2.0f;
+        while (nm < stream_pos) nm = nm + clock;
+        next_mid = nm;
+      }
+    }
+    if (changed) {
+      last_b = stream_pos;
+      last_sign = sign;
+    }
+    stream_pos = stream_pos + 1.0f;
+    const float sb = 10.0f * clock;
+    if (stream_pos > sb && last_b > sb && next_mid > sb) {
+      stream_pos = stream_pos - sb;
+      last_b = last_b - sb;
+      next_mid = next_mid - sb;
+    }
+  }
+  return k;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// HDLC deframer: flag hunt, bit-unstuffing, LSB-first byte pack,
+// CRC-16/X.25 with optional single-bitflip repair.  Exact port of
+// ops/hdlc.py HdlcStateMachine (itself a port of reference
+// src/hdlc_deframer.rs:123-231) — the per-bit tail of a receive chain.
+struct RrHdlc {
+  int min_size, max_size, keep_checksum, fix_bits;
+  int state;  // 0 unsynced, 1 synced, 2 final
+  uint8_t shift;
+  int ones;
+  std::vector<uint8_t> cur;  // bits
+  uint64_t stream_pos;
+  uint64_t decoded, crc_error, bitfixed;
+  // pending output packets
+  std::vector<uint8_t> out_data;
+  std::vector<uint32_t> out_lens;
+  std::vector<uint64_t> out_pos;
+  uint16_t crc_table[256];
+};
+
+static uint16_t rr_crc16(const RrHdlc* h, const uint8_t* d, size_t n) {
+  uint16_t fcs = 0xFFFF;
+  for (size_t i = 0; i < n; i++)
+    fcs = (uint16_t)(fcs >> 8) ^ h->crc_table[(fcs ^ d[i]) & 0xFF];
+  return (uint16_t)(fcs ^ 0xFFFF);
+}
+
+RrHdlc* rr_hdlc_create(int min_size, int max_size, int keep_checksum,
+                       int fix_bits) {
+  auto* h = new RrHdlc();
+  h->min_size = min_size;
+  h->max_size = max_size;
+  h->keep_checksum = keep_checksum;
+  h->fix_bits = fix_bits;
+  h->state = 0;
+  h->shift = 0xFF;
+  h->ones = 0;
+  h->stream_pos = 0;
+  h->decoded = h->crc_error = h->bitfixed = 0;
+  for (int b = 0; b < 256; b++) {
+    uint16_t v = (uint16_t)b;
+    for (int i = 0; i < 8; i++) v = (v & 1) ? (uint16_t)((v >> 1) ^ 0x8408) : (uint16_t)(v >> 1);
+    h->crc_table[b] = v;
+  }
+  return h;
+}
+
+void rr_hdlc_destroy(RrHdlc* h) { delete h; }
+
+static void rr_hdlc_finish(RrHdlc* h, uint64_t pos) {
+  if (h->cur.size() < 7) return;
+  size_t nbits = h->cur.size() - 7;  // strip partial closing flag
+  if (nbits % 8 != 0 || nbits / 8 < (size_t)h->min_size) return;
+  size_t nb = nbits / 8;
+  std::vector<uint8_t> by(nb);
+  for (size_t i = 0; i < nb; i++) {
+    uint8_t v = 0;
+    for (int j = 0; j < 8; j++) v |= (uint8_t)(h->cur[8 * i + j] << j);
+    by[i] = v;
+  }
+  if (h->keep_checksum) {
+    h->decoded++;
+    h->out_data.insert(h->out_data.end(), by.begin(), by.end());
+    h->out_lens.push_back((uint32_t)nb);
+    h->out_pos.push_back(pos);
+    return;
+  }
+  if (nb < 2) return;
+  size_t nd = nb - 2;
+  uint16_t got = (uint16_t)(by[nd] | (by[nd + 1] << 8));
+  uint16_t crc = rr_crc16(h, by.data(), nd);
+  bool fixed = false;
+  if (crc != got && h->fix_bits) {
+    bool repaired = false;
+    for (size_t bit = 0; bit < nd * 8 && !repaired; bit++) {
+      by[bit / 8] ^= (uint8_t)(1u << (bit % 8));
+      if (rr_crc16(h, by.data(), nd) == got) {
+        repaired = true;
+        fixed = true;
+        crc = got;
+      } else {
+        by[bit / 8] ^= (uint8_t)(1u << (bit % 8));
+      }
+    }
+    if (!repaired) {
+      for (int cb = 0; cb < 16; cb++) {
+        if ((uint16_t)(got ^ (1u << cb)) == crc) { fixed = true; break; }
+      }
+    }
+  }
+  if (fixed) h->bitfixed++;
+  if (crc != got) {
+    h->crc_error++;
+    return;
+  }
+  h->decoded++;
+  h->out_data.insert(h->out_data.end(), by.begin(), by.begin() + nd);
+  h->out_lens.push_back((uint32_t)nd);
+  h->out_pos.push_back(pos);
+}
+
+size_t rr_hdlc_feed(RrHdlc* h, const uint8_t* bits, size_t n) {
+  for (size_t i = 0; i < n; i++) {
+    const int bit = bits[i] & 1;
+    const uint64_t pos = h->stream_pos++;
+    if (h->state == 0) {
+      h->shift = (uint8_t)(((h->shift >> 1) | (bit << 7)) & 0xFF);
+      if (h->shift == 0x7E) {
+        h->state = 1;
+        h->ones = 0;
+        h->cur.clear();
+      }
+    } else if (h->state == 1) {
+      if (h->cur.size() > (size_t)h->max_size * 8) {
+        h->state = 0;
+        h->shift = 0xFF;
+        continue;
+      }
+      if (bit) {
+        h->cur.push_back(1);
+        if (h->ones == 5) h->state = 2;
+        else h->ones++;
+      } else if (h->ones == 5) {
+        h->ones = 0;  // stuffed bit, drop
+      } else {
+        h->cur.push_back(0);
+        h->ones = 0;
+      }
+    } else {  // final: 6 ones seen, this bit must be 0
+      if (bit == 1 || h->cur.size() < 7) {
+        h->state = 0;
+        h->shift = 0xFF;
+        continue;
+      }
+      rr_hdlc_finish(h, pos);
+      h->state = 1;
+      h->ones = 0;
+      h->cur.clear();
+    }
+  }
+  return h->out_lens.size();
+}
+
+size_t rr_hdlc_pending_bytes(RrHdlc* h) { return h->out_data.size(); }
+
+size_t rr_hdlc_drain(RrHdlc* h, uint8_t* data, uint32_t* lens, uint64_t* poss,
+                     size_t maxp) {
+  size_t k = h->out_lens.size() < maxp ? h->out_lens.size() : maxp;
+  if (k != h->out_lens.size()) return (size_t)-1;  // caller sized wrong
+  if (k) {
+    std::memcpy(data, h->out_data.data(), h->out_data.size());
+    std::memcpy(lens, h->out_lens.data(), k * sizeof(uint32_t));
+    std::memcpy(poss, h->out_pos.data(), k * sizeof(uint64_t));
+  }
+  h->out_data.clear();
+  h->out_lens.clear();
+  h->out_pos.clear();
+  return k;
+}
+
+void rr_hdlc_stats(RrHdlc* h, uint64_t out[3]) {
+  out[0] = h->decoded;
+  out[1] = h->crc_error;
+  out[2] = h->bitfixed;
 }
 
 }  // extern "C"

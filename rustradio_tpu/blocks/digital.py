@@ -154,7 +154,12 @@ class SymbolSync(Block):
         return jnp.asarray(np.asarray(vals)[np.asarray(mask)]), new_state
 
     def apply(self, x):
-        return self._run(x, None)[0]
+        # Offline: the native sequential kernel (exact f32 match, ~100x);
+        # streaming apply_chunk keeps the scan for resumable state.
+        syms = ops.recover_symbols(
+            np.asarray(x), self.sps, self.max_deviation, self.clock_taps
+        )
+        return jnp.asarray(syms)
 
     def apply_chunk(self, state, x):
         syms, new = self._run(x, state["sync"] if state else None)

@@ -93,10 +93,9 @@ def ax25_1200_rx(
     """Decode AX.25 packets from Bell-202 AFSK audio (float32 stream)."""
     audio = jnp.asarray(audio, jnp.float32)
     nrz = bell202_demod(audio, float(samp_rate))
-    (vals, mask, _), _ = ops.symbol_sync(
-        nrz, float(samp_rate) / 1200.0, symbol_max_deviation, symbol_taps
+    symbols = ops.recover_symbols(
+        np.asarray(nrz), float(samp_rate) / 1200.0, symbol_max_deviation, symbol_taps
     )
-    symbols = np.asarray(vals)[np.asarray(mask)]
     bits = np.asarray(ops.nrzi_decode(ops.binary_slicer(jnp.asarray(symbols))))
     packets, stats = ops.hdlc_deframe(bits, 10, 1500, fix_bits=fix_bits)
     return [Ax25Packet(np.asarray(d), int(p)) for d, p in packets]
@@ -136,10 +135,9 @@ def ax25_9600_rx(
     x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
     x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
     nrz = ops.quadrature_demod(x, 1.0)
-    (vals, mask, _), _ = ops.symbol_sync(
-        nrz, float(new_rate) / baud, symbol_max_deviation, symbol_taps
+    syms = ops.recover_symbols(
+        np.asarray(nrz), float(new_rate) / baud, symbol_max_deviation, symbol_taps
     )
-    syms = np.asarray(vals)[np.asarray(mask)]
     bits = ops.binary_slicer(jnp.asarray(syms))
     bits = ops.nrzi_decode(bits)
     bits = np.asarray(ops.descramble(bits))
@@ -207,10 +205,9 @@ def il2p_1200_rx(
     new_rate = 50_000.0
     fm = iq_front_end(iq, samp_rate, new_rate)
     nrz = bell202_demod(fm, new_rate)
-    (vals, mask, _), _ = ops.symbol_sync(
-        nrz, new_rate / 1200.0, symbol_max_deviation, symbol_taps
+    syms = ops.recover_symbols(
+        np.asarray(nrz), new_rate / 1200.0, symbol_max_deviation, symbol_taps
     )
-    syms = np.asarray(vals)[np.asarray(mask)]
     bits = np.asarray(ops.binary_slicer(jnp.asarray(syms))) ^ 1
     return il2p_deframe(bits)
 

@@ -28,7 +28,8 @@ def _build() -> str | None:
         return _SO
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-ffp-contract=off", "-std=c++17",
+             "-shared", "-fPIC",
              "-o", _SO, _SRC, "-lpthread"],
             check=True, capture_output=True,
         )
@@ -84,6 +85,24 @@ def _load():
         ]
         lib.rr_convert_f32_i16be.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t
+        ]
+        lib.rr_hdlc_create.restype = ctypes.c_void_p
+        lib.rr_hdlc_create.argtypes = [ctypes.c_int] * 4
+        lib.rr_hdlc_destroy.argtypes = [ctypes.c_void_p]
+        lib.rr_hdlc_feed.restype = ctypes.c_size_t
+        lib.rr_hdlc_feed.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+        lib.rr_hdlc_pending_bytes.restype = ctypes.c_size_t
+        lib.rr_hdlc_pending_bytes.argtypes = [ctypes.c_void_p]
+        lib.rr_hdlc_drain.restype = ctypes.c_size_t
+        lib.rr_hdlc_drain.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.rr_hdlc_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)]
+        lib.rr_symbol_sync.restype = ctypes.c_size_t
+        lib.rr_symbol_sync.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_float, ctypes.c_float,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
         ]
         _lib = lib
         return _lib
@@ -217,3 +236,78 @@ def convert_f32_i16be(x: np.ndarray) -> np.ndarray:
         x.ctypes.data_as(ctypes.c_void_p), out.ctypes.data_as(ctypes.c_void_p), len(x)
     )
     return out
+
+
+def symbol_sync_f32(x: np.ndarray, sps: float, max_deviation: float, clock_taps):
+    """Native symbol sync (see rr_symbol_sync in native/rr_native.cpp).
+
+    Returns (symbols, clocks) or None when the native runtime is
+    unavailable.  Exact f32 replication of ops.symbol_sync's scan.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    taps = np.ascontiguousarray(clock_taps, np.float32)
+    vals = np.empty(len(x), np.float32)
+    clks = np.empty(len(x), np.float32)
+    k = lib.rr_symbol_sync(
+        x.ctypes.data_as(ctypes.c_void_p), len(x),
+        ctypes.c_float(np.float32(sps)), ctypes.c_float(np.float32(max_deviation)),
+        taps.ctypes.data_as(ctypes.c_void_p), len(taps),
+        vals.ctypes.data_as(ctypes.c_void_p), clks.ctypes.data_as(ctypes.c_void_p),
+    )
+    return vals[:k].copy(), clks[:k].copy()
+
+
+class HdlcDeframer:
+    """Native resumable HDLC deframer (rr_hdlc_* in native/rr_native.cpp).
+
+    Exact port of ops.hdlc.HdlcStateMachine; feed() accepts consecutive
+    bit chunks and returns the newly decoded (bytes, stream_pos) packets.
+    """
+
+    def __init__(self, min_size=1, max_size=1500, keep_checksum=False, fix_bits=False):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._ptr = lib.rr_hdlc_create(
+            int(min_size), int(max_size), int(bool(keep_checksum)), int(bool(fix_bits))
+        )
+
+    def __del__(self):
+        if getattr(self, "_ptr", None):
+            self._lib.rr_hdlc_destroy(self._ptr)
+            self._ptr = None
+
+    def feed(self, bits) -> list:
+        bits = np.ascontiguousarray(bits, np.uint8)
+        k = self._lib.rr_hdlc_feed(
+            self._ptr, bits.ctypes.data_as(ctypes.c_void_p), len(bits)
+        )
+        if k == 0:
+            return []
+        nbytes = self._lib.rr_hdlc_pending_bytes(self._ptr)
+        data = np.empty(nbytes, np.uint8)
+        lens = np.empty(k, np.uint32)
+        poss = np.empty(k, np.uint64)
+        got = self._lib.rr_hdlc_drain(
+            self._ptr,
+            data.ctypes.data_as(ctypes.c_void_p),
+            lens.ctypes.data_as(ctypes.c_void_p),
+            poss.ctypes.data_as(ctypes.c_void_p),
+            k,
+        )
+        assert got == k
+        out, off = [], 0
+        for ln, pos in zip(lens, poss):
+            out.append((data[off : off + int(ln)].copy(), int(pos)))
+            off += int(ln)
+        return out
+
+    @property
+    def stats(self) -> dict:
+        buf = (ctypes.c_uint64 * 3)()
+        self._lib.rr_hdlc_stats(self._ptr, buf)
+        return {"decoded": int(buf[0]), "crc_error": int(buf[1]), "bitfixed": int(buf[2])}

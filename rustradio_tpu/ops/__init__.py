@@ -32,7 +32,7 @@ from .nrzi import nrzi_decode, nrzi_encode
 from .scramble import descramble, scramble
 from .delay import delay, head, skip
 from .vco import vco
-from .symbol_sync import symbol_sync, zero_crossing_sync
+from .symbol_sync import recover_symbols, symbol_sync, zero_crossing_sync
 from .hdlc import calc_crc, fcs_add, hdlc_deframe, hdlc_frame
 from .wpcr import midpoint, wpcr
 from .burst import burst_tagger, stream_to_pdu

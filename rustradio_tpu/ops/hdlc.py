@@ -204,7 +204,16 @@ def hdlc_deframe(
     Returns (packets, stats) where packets is a list of (bytes, stream_pos)
     and stats counts decoded/crc_error/bitfixed like the reference's Drop
     logging (src/hdlc_deframer.rs:103-110).
+
+    Dispatches to the native C++ port (rr_hdlc_* in native/rr_native.cpp,
+    ~100x the per-bit Python loop) when available.
     """
+    from .. import native
+
+    if native.available():
+        sm = native.HdlcDeframer(min_size, max_size, keep_checksum, fix_bits)
+        packets = sm.feed(np.asarray(bits, np.uint8))
+        return packets, sm.stats
     sm = HdlcStateMachine(min_size, max_size, keep_checksum, fix_bits)
     packets = sm.feed(bits)
     return packets, sm.stats

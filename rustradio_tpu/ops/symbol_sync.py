@@ -177,3 +177,20 @@ def compact(values, mask):
     values = np.asarray(values)
     mask = np.asarray(mask)
     return values[mask]
+
+
+def recover_symbols(x, sps: float, max_deviation: float = 0.5, clock_taps=(0.5, 0.5)):
+    """Symbol sync returning the compacted symbol array.
+
+    Dispatches the sequential low-rate recurrence to the native C++
+    runtime when available (an exact f32 replication — rr_symbol_sync in
+    native/rr_native.cpp, ~100x the lax.scan); falls back to the scan.
+    """
+    from .. import native
+
+    xh = np.asarray(x, np.float32)
+    out = native.symbol_sync_f32(xh, sps, max_deviation, np.asarray(clock_taps))
+    if out is not None:
+        return out[0]
+    (vals, mask, _), _ = symbol_sync(xh, sps, max_deviation, clock_taps)
+    return compact(vals, mask)

@@ -118,3 +118,65 @@ def test_convert_f32_i16be_matches_au_encode():
     raw = native.convert_f32_i16be(x)
     want = np.trunc(x * 32767.0).clip(-32768, 32767).astype(">i2")
     np.testing.assert_array_equal(np.frombuffer(raw, ">i2"), want)
+
+
+def test_native_symbol_sync_matches_scan_exactly():
+    import numpy as np
+    from rustradio_tpu import native
+    from rustradio_tpu.ops.symbol_sync import compact, symbol_sync
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.RandomState(5)
+    n = 200_000
+    t = np.arange(n)
+    nrz = np.sign(np.sin(2 * np.pi * t / 36.75 + 0.3)).astype(np.float32)
+    nrz = nrz * (0.8 + 0.1 * rng.randn(n).astype(np.float32))
+    for taps in ((0.5, 0.5), (0.0001, 0.99999999), (1.0,)):
+        (v, m, c), _ = symbol_sync(nrz, 36.75, 0.5, taps)
+        want_v, want_c = compact(v, m), compact(c, m)
+        got_v, got_c = native.symbol_sync_f32(nrz, 36.75, 0.5, np.asarray(taps))
+        assert np.array_equal(got_v, want_v), taps
+        assert np.array_equal(got_c, want_c), taps
+
+
+def test_native_hdlc_matches_python_state_machine():
+    import numpy as np
+    from rustradio_tpu import native, ops
+    from rustradio_tpu.ops.hdlc import HdlcStateMachine
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.RandomState(11)
+    # frames of noise-separated HDLC, plus one with a single flipped bit
+    chunks = []
+    for i, payload in enumerate(
+        [b"HELLO HDLC", b"A" * 300, b"\x00\x7e\x7d frame with flags in data"]
+    ):
+        bits = np.asarray(ops.hdlc_frame(ops.fcs_add(np.frombuffer(payload, np.uint8))))
+        chunks.append(bits)
+        chunks.append(rng.randint(0, 2, 64).astype(np.uint8))
+    stream = np.concatenate(chunks)
+    damaged = stream.copy()
+    # flip one payload bit inside the second frame's data region
+    damaged[len(chunks[0]) + 64 + 200] ^= 1
+
+    for bits, fix in ((stream, False), (damaged, True), (damaged, False)):
+        py = HdlcStateMachine(1, 1500, False, fix)
+        want = py.feed(bits)
+        nat = native.HdlcDeframer(1, 1500, False, fix)
+        got = nat.feed(bits)
+        assert nat.stats == py.stats, (fix, nat.stats, py.stats)
+        assert len(got) == len(want)
+        for (gd, gp), (wd, wp) in zip(got, want):
+            assert gp == wp and np.array_equal(gd, wd)
+        # chunked feeding decodes identically
+        nat2 = native.HdlcDeframer(1, 1500, False, fix)
+        got2 = []
+        for i in range(0, len(bits), 97):
+            got2.extend(nat2.feed(bits[i : i + 97]))
+        assert len(got2) == len(want)
