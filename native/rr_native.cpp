@@ -287,18 +287,30 @@ extern "C" {
 // mul+add do not fuse into FMA (the scan rounds each op separately).
 // Returns the number of emitted symbols; out_vals/out_clocks must have
 // room for n floats.
+// state layout (in/out): [clock, last_sign, stream_pos, last_boundary,
+// next_mid, fbuf[0..max(order,1))] — pass NULL for a fresh stream.
 size_t rr_symbol_sync(const float* x, size_t n, float sps, float max_dev,
                       const float* taps, size_t ntaps,
+                      float* state,
                       float* out_vals, float* out_clocks) {
   const float mi = sps - max_dev;
   const float mx = sps + max_dev;
   const int order = (int)ntaps - 1;
+  const int nf = order > 0 ? order : 1;
   float clock = sps;
   float stream_pos = 0.0f;
   float last_b = 0.0f;
   float next_mid = sps / 2.0f;
   bool last_sign = false;
-  std::vector<float> fbuf((size_t)(order > 0 ? order : 1), sps);
+  std::vector<float> fbuf((size_t)nf, sps);
+  if (state != nullptr) {
+    clock = state[0];
+    last_sign = state[1] != 0.0f;
+    stream_pos = state[2];
+    last_b = state[3];
+    next_mid = state[4];
+    for (int j = 0; j < nf; j++) fbuf[(size_t)j] = state[5 + j];
+  }
   size_t k = 0;
   for (size_t i = 0; i < n; i++) {
     const float sample = x[i];
@@ -344,6 +356,14 @@ size_t rr_symbol_sync(const float* x, size_t n, float sps, float max_dev,
       last_b = last_b - sb;
       next_mid = next_mid - sb;
     }
+  }
+  if (state != nullptr) {
+    state[0] = clock;
+    state[1] = last_sign ? 1.0f : 0.0f;
+    state[2] = stream_pos;
+    state[3] = last_b;
+    state[4] = next_mid;
+    for (int j = 0; j < nf; j++) state[5 + j] = fbuf[(size_t)j];
   }
   return k;
 }

@@ -154,15 +154,26 @@ class SymbolSync(Block):
         return jnp.asarray(np.asarray(vals)[np.asarray(mask)]), new_state
 
     def apply(self, x):
-        # Offline: the native sequential kernel (exact f32 match, ~100x);
-        # streaming apply_chunk keeps the scan for resumable state.
+        # The native sequential kernel when available (exact f32 match,
+        # ~100x the scan).
         syms = ops.recover_symbols(
             np.asarray(x), self.sps, self.max_deviation, self.clock_taps
         )
         return jnp.asarray(syms)
 
     def apply_chunk(self, state, x):
-        syms, new = self._run(x, state["sync"] if state else None)
+        from .. import native
+
+        prev = state["sync"] if state else None
+        if native.available():
+            # Native with an explicit state dict (same keys as the scan's
+            # carry, so checkpoints interoperate between backends).
+            vals, _, new = native.symbol_sync_f32(
+                np.asarray(x, np.float32), self.sps, self.max_deviation,
+                np.asarray(self.clock_taps), state=prev,
+            )
+            return {"sync": new}, jnp.asarray(vals)
+        syms, new = self._run(x, prev)
         return {"sync": new}, syms
 
 

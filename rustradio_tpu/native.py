@@ -102,7 +102,8 @@ def _load():
         lib.rr_symbol_sync.restype = ctypes.c_size_t
         lib.rr_symbol_sync.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_float, ctypes.c_float,
-            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
         ]
         _lib = lib
         return _lib
@@ -238,26 +239,54 @@ def convert_f32_i16be(x: np.ndarray) -> np.ndarray:
     return out
 
 
-def symbol_sync_f32(x: np.ndarray, sps: float, max_deviation: float, clock_taps):
+def symbol_sync_f32(x: np.ndarray, sps: float, max_deviation: float, clock_taps,
+                    state: dict | None = None):
     """Native symbol sync (see rr_symbol_sync in native/rr_native.cpp).
 
-    Returns (symbols, clocks) or None when the native runtime is
-    unavailable.  Exact f32 replication of ops.symbol_sync's scan.
+    Returns (symbols, clocks, final_state_dict) or None when the native
+    runtime is unavailable.  Exact f32 replication of ops.symbol_sync's
+    scan; the state dict uses the scan's own keys, so streams can resume
+    across the two backends (and through checkpoints).
     """
     lib = _load()
     if lib is None:
         return None
     x = np.ascontiguousarray(x, np.float32)
     taps = np.ascontiguousarray(clock_taps, np.float32)
+    nf = max(len(taps) - 1, 1)
+    st = np.empty(5 + nf, np.float32)
+    if state is None:
+        st[0] = np.float32(sps)
+        st[1] = 0.0
+        st[2] = 0.0
+        st[3] = 0.0
+        st[4] = np.float32(sps) / np.float32(2.0)
+        st[5:] = np.float32(sps)
+    else:
+        st[0] = np.float32(state["clock"])
+        st[1] = 1.0 if bool(np.asarray(state["last_sign"])) else 0.0
+        st[2] = np.float32(state["stream_pos"])
+        st[3] = np.float32(state["last_sym_boundary_pos"])
+        st[4] = np.float32(state["next_sym_middle"])
+        st[5:] = np.asarray(state["fbuf"], np.float32)
     vals = np.empty(len(x), np.float32)
     clks = np.empty(len(x), np.float32)
     k = lib.rr_symbol_sync(
         x.ctypes.data_as(ctypes.c_void_p), len(x),
         ctypes.c_float(np.float32(sps)), ctypes.c_float(np.float32(max_deviation)),
         taps.ctypes.data_as(ctypes.c_void_p), len(taps),
+        st.ctypes.data_as(ctypes.c_void_p),
         vals.ctypes.data_as(ctypes.c_void_p), clks.ctypes.data_as(ctypes.c_void_p),
     )
-    return vals[:k].copy(), clks[:k].copy()
+    final = dict(
+        clock=np.float32(st[0]),
+        last_sign=bool(st[1] != 0.0),
+        stream_pos=np.float32(st[2]),
+        last_sym_boundary_pos=np.float32(st[3]),
+        next_sym_middle=np.float32(st[4]),
+        fbuf=st[5:].copy(),
+    )
+    return vals[:k].copy(), clks[:k].copy(), final
 
 
 class HdlcDeframer:

@@ -137,7 +137,7 @@ def test_native_symbol_sync_matches_scan_exactly():
     for taps in ((0.5, 0.5), (0.0001, 0.99999999), (1.0,)):
         (v, m, c), _ = symbol_sync(nrz, 36.75, 0.5, taps)
         want_v, want_c = compact(v, m), compact(c, m)
-        got_v, got_c = native.symbol_sync_f32(nrz, 36.75, 0.5, np.asarray(taps))
+        got_v, got_c, _ = native.symbol_sync_f32(nrz, 36.75, 0.5, np.asarray(taps))
         assert np.array_equal(got_v, want_v), taps
         assert np.array_equal(got_c, want_c), taps
 
@@ -180,3 +180,36 @@ def test_native_hdlc_matches_python_state_machine():
         for i in range(0, len(bits), 97):
             got2.extend(nat2.feed(bits[i : i + 97]))
         assert len(got2) == len(want)
+
+
+def test_native_symbol_sync_chunked_resume():
+    import numpy as np
+    from rustradio_tpu import native
+    from rustradio_tpu.ops.symbol_sync import compact, symbol_sync
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.RandomState(7)
+    n = 100_000
+    t = np.arange(n)
+    nrz = np.sign(np.sin(2 * np.pi * t / 36.75)).astype(np.float32)
+    nrz = nrz * (0.8 + 0.1 * rng.randn(n).astype(np.float32))
+    want_v, want_c, _ = native.symbol_sync_f32(nrz, 36.75, 0.5, np.asarray([0.5, 0.5]))
+    # chunked native resumes exactly
+    parts, st = [], None
+    for i in range(0, n, 7777):
+        v, c, st = native.symbol_sync_f32(
+            nrz[i : i + 7777], 36.75, 0.5, np.asarray([0.5, 0.5]), state=st
+        )
+        parts.append(v)
+    got = np.concatenate(parts)
+    assert np.array_equal(got, want_v)
+    # a native-produced state resumes the scan backend identically
+    v1, c1, st1 = native.symbol_sync_f32(
+        nrz[:50_000], 36.75, 0.5, np.asarray([0.5, 0.5])
+    )
+    (v2, m2, _), _ = symbol_sync(nrz[50_000:], 36.75, 0.5, (0.5, 0.5), state=st1)
+    tail = compact(v2, m2)
+    assert np.array_equal(np.concatenate([v1, tail]), want_v)
