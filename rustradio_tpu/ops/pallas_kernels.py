@@ -147,7 +147,7 @@ def _fir_band_kernel(xm_ref, xh_ref, w_ref, out_ref, *, deci, nq, rows):
     # input rows to one (deci*128)-long row turns every group into a plain
     # row slice + contiguous reshape (no sublane-strided relayouts), so a
     # tile is just nq MXU dots of (rows, deci*128) x (deci*128, 128).
-    X = jnp.concatenate([xm_ref[:], xh_ref[:]], axis=0)
+    X = jnp.concatenate([xm_ref[:], xh_ref[: nq * deci]], axis=0)
     X2 = X.reshape(rows + nq, deci * 128)
     acc = jnp.zeros((rows, 128), jnp.float32)
     step = deci * 128
@@ -224,19 +224,25 @@ def pallas_fir_decimate(x, taps, deci: int, tile_rows: int | None = None):
     if tile_rows is None:
         tile_rows = 512
     tile_rows = max(tile_rows, nq)
-    tile_rows += (-tile_rows) % nq  # halo index map needs tile_rows % nq == 0
+    tile_rows += (-tile_rows) % 16  # keep main/halo block rows 8-divisible
+    # The halo ref fetches only the rows just past the tile, not a whole
+    # second block.  Its block height must be sublane-aligned (multiple of
+    # 8) and divide the tile block height so the index map stays integral.
+    hrows = nq * deci + (-(nq * deci)) % 8
     mrows = -(-m // 128)
     g = -(-mrows // tile_rows)
-    # xp rows for g tiles plus the final tile's halo (nq*deci rows).
-    in_rows = g * tile_rows * deci + nq * deci
+    # xp rows for g tiles plus the final tile's halo block.
+    in_rows = g * tile_rows * deci + hrows
     xp = jnp.pad(x, (left, in_rows * 128 - n - left))
     x2d = xp.reshape(in_rows, 128)
     kern = functools.partial(_fir_band_kernel, deci=deci, nq=nq, rows=tile_rows)
-    # The halo ref fetches only the nq*deci rows past the tile, not a whole
-    # second block: its index map is in halo-block units (tile_rows // nq
-    # halo blocks per tile block, since block row counts are
-    # tile_rows*deci vs nq*deci).
-    hblocks_per_tile = tile_rows // nq
+    if (tile_rows * deci) % hrows:
+        # fall back to a whole-block halo when the small block can't tile
+        hrows = tile_rows * deci
+        in_rows = (g + 1) * tile_rows * deci
+        xp = jnp.pad(x, (left, in_rows * 128 - n - left))
+        x2d = xp.reshape(in_rows, 128)
+    hblocks_per_tile = tile_rows * deci // hrows
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((g * tile_rows, 128), jnp.float32),
@@ -244,7 +250,7 @@ def pallas_fir_decimate(x, taps, deci: int, tile_rows: int | None = None):
         in_specs=[
             pl.BlockSpec((tile_rows * deci, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (nq * deci, 128),
+                (hrows, 128),
                 lambda i: ((i + 1) * hblocks_per_tile, 0),
                 memory_space=pltpu.VMEM,
             ),
