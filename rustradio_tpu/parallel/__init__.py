@@ -8,7 +8,7 @@ src/fft_filter.rs:336-348, src/fir.rs:493-505) becomes a left-halo exchange
 via ``ppermute`` riding ICI.
 """
 
-from .mesh import make_mesh, make_mesh_2d, time_axis_spec
+from .mesh import init_distributed, make_mesh, make_mesh_2d, time_axis_spec
 from .halo import halo_exchange_left, halo_exchange_right
 from .sharded import (
     sharded_fft_filter,
@@ -28,6 +28,7 @@ __all__ = [
     "channelizer_taps",
     "halo_exchange_left",
     "halo_exchange_right",
+    "init_distributed",
     "make_mesh",
     "make_mesh_2d",
     "pfb_channelize",

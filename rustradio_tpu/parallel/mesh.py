@@ -7,6 +7,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize multi-host JAX (SURVEY §2.7: the reference's inter-process
+    transport is TCP + the DATA_STREAM protocol; here hosts join one
+    ``jax.distributed`` job and the mesh spans (host, chip) so collectives
+    ride ICI within a host's slice and DCN between hosts).
+
+    No-ops when already initialized or when running single-process (the
+    common case under tests and the CPU dryrun).
+    """
+    if jax.process_count() > 1:
+        return
+    if coordinator is None:
+        return  # single-process
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(n_devices: int | None = None, axis: str = "time") -> Mesh:
     """A 1-D device mesh over the first ``n_devices`` devices.
 
