@@ -27,6 +27,9 @@ class Block:
     domain = "device"
     interp = 1
     deci = 1
+    # apply_chunk is wrapped in jax.jit by the streaming runner unless a
+    # block's chunk logic is Python-value-dependent (set jit_chunk = False).
+    jit_chunk = True
 
     def name(self) -> str:
         return type(self).__name__

@@ -19,6 +19,8 @@ class RationalResampler(Block):
     just computes the global index window.
     """
 
+    jit_chunk = False  # chunk logic depends on Python-int offsets
+
     def __init__(self, interp: int, deci: int):
         if interp <= 0 or deci <= 0:
             raise ValueError("RationalResampler interp/deci must be > 0")
@@ -66,6 +68,8 @@ class Delay(Block):
 class Skip(Block):
     """Drop first n samples (reference src/skip.rs)."""
 
+    jit_chunk = False  # variable-length outputs per chunk
+
     def __init__(self, n: int):
         self.n = n
 
@@ -83,6 +87,8 @@ class Skip(Block):
 
 class Head(Block):
     """Pass first n samples then end (reference src/head.rs)."""
+
+    jit_chunk = False  # variable-length outputs per chunk
 
     def __init__(self, n: int):
         self.n = n

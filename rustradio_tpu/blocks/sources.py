@@ -29,7 +29,9 @@ class VectorSource(SourceBlock):
         idx = (np.arange(offset, offset + n)) % len(self.data)
         if offset + n > total:
             raise ValueError("emit past end of VectorSource")
-        return jnp.asarray(self.data[idx])
+        # host numpy out: the graph stages it across the device boundary
+        # (complex64 can't transfer directly on some TPU transports)
+        return self.data[idx]
 
     def emit_tags(self, offset, n):
         out = []
@@ -59,7 +61,7 @@ class ConstantSource(SourceBlock):
         return self.n
 
     def emit(self, offset, n):
-        return jnp.full(n, self.value)
+        return np.full(n, self.value)
 
 
 class SignalSourceComplex(SourceBlock):
@@ -98,10 +100,8 @@ class NoiseSource(SourceBlock):
     def emit(self, offset, n):
         rng = np.random.RandomState(self.seed + offset % (2**31))
         if self.complex:
-            return jnp.asarray(
-                ((rng.randn(n) + 1j * rng.randn(n)) * self.scale).astype(np.complex64)
-            )
-        return jnp.asarray((rng.randn(n) * self.scale).astype(np.float32))
+            return ((rng.randn(n) + 1j * rng.randn(n)) * self.scale).astype(np.complex64)
+        return (rng.randn(n) * self.scale).astype(np.float32)
 
 
 class FileSource(SourceBlock):

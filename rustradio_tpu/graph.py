@@ -25,6 +25,41 @@ import numpy as np
 from .blocks.base import Block, SourceBlock
 from .streams import Tag
 
+_COMBINE = None
+
+
+def _stage_for(domain: str, x):
+    """Move a value across the host/device boundary for a block.
+
+    Some TPU transports cannot transfer complex64 either direction
+    (UNIMPLEMENTED); complex values cross as f32 real/imag pairs and are
+    (re)combined on the receiving side.  Real dtypes pass through
+    untouched — jnp/np.asarray in the block handles them.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.pallas_kernels import _on_tpu
+
+    if not _on_tpu():
+        return x
+    if domain == "device":
+        if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+            global _COMBINE
+            if _COMBINE is None:
+                _COMBINE = jax.jit(jax.lax.complex)
+            return _COMBINE(
+                jnp.asarray(np.ascontiguousarray(x.real, np.float32)),
+                jnp.asarray(np.ascontiguousarray(x.imag, np.float32)),
+            )
+        return x
+    # host domain: read complex device arrays back as f32 pairs
+    if isinstance(x, jax.Array) and jnp.iscomplexobj(x):
+        re = np.asarray(jnp.real(x))
+        im = np.asarray(jnp.imag(x))
+        return (re + 1j * im).astype(np.complex64)
+    return x
+
 
 @dataclasses.dataclass(frozen=True)
 class Port:
@@ -66,6 +101,7 @@ class Graph:
         self.nodes: list[Node] = []
         self._token = CancellationToken()
         self._stats: dict[int, float] = {}
+        self._jit_cache: dict[tuple[int, str], Any] = {}
 
     # ---- construction ----
     def add(self, block: Block, *inputs) -> Node:
@@ -101,6 +137,22 @@ class Graph:
         return self._token
 
     # ---- execution ----
+    def _device_call(self, node: Node, fn_name: str):
+        """Jitted wrapper for a device block's apply/apply_chunk.
+
+        Device segments must run under jit: eager op-by-op dispatch forgoes
+        XLA fusion and hits unimplemented eager kernels on some TPU
+        transports.  Cached per (block, fn); XLA caches per shape.
+        """
+        key = (node.idx, fn_name)
+        f = self._jit_cache.get(key)
+        if f is None:
+            import jax
+
+            f = jax.jit(getattr(node.block, fn_name))
+            self._jit_cache[key] = f
+        return f
+
     def _topo(self) -> list[Node]:
         # nodes are appended after their inputs, so insertion order is topo
         # as long as users build forward; verify anyway.
@@ -120,7 +172,10 @@ class Graph:
             if self._token.is_cancelled():
                 break
             b = node.block
-            xs = [values[(p.node.idx, p.index)] for p in node.inputs]
+            xs = [
+                _stage_for(b.domain, values[(p.node.idx, p.index)])
+                for p in node.inputs
+            ]
             in_tags = [tags.get((p.node.idx, p.index), []) for p in node.inputs]
             if hasattr(b, "set_tags") and in_tags:
                 b.set_tags(in_tags[0])
@@ -129,6 +184,9 @@ class Graph:
                 out = b.apply()
                 total = b.total_len()
                 out_tags_src = b.emit_tags(0, total) if total is not None else []
+            elif b.domain == "device" and b.n_out > 0:
+                out = self._device_call(node, "apply")(*xs)
+                out_tags_src = None
             else:
                 out = b.apply(*xs)
                 out_tags_src = None
@@ -182,7 +240,17 @@ class Graph:
         # max_chunks also bounds how many chunks THIS call processes (used
         # for checkpoint-then-resume workflows on bounded sources).
 
-        states = {n.idx: n.block.init_state() for n in self.nodes}
+        states = {}
+        for n in self.nodes:
+            b = n.block
+            if b.domain == "device" and b.n_out > 0 and b.jit_chunk:
+                # Create device-block state under jit: eager creation of
+                # complex arrays is unimplemented on some TPU transports.
+                import jax
+
+                states[n.idx] = jax.jit(b.init_state)()
+            else:
+                states[n.idx] = b.init_state()
         offset = 0
         if resume_from is not None:
             from .utils.checkpoint import load_checkpoint
@@ -213,12 +281,20 @@ class Graph:
                     values[(node.idx, 0)] = out
                     tags[(node.idx, 0)] = b.emit_tags(offset, n_chunk)
                     continue
-                xs = [values[(p.node.idx, p.index)] for p in node.inputs]
+                xs = [
+                    _stage_for(b.domain, values[(p.node.idx, p.index)])
+                    for p in node.inputs
+                ]
                 in_tags = [tags.get((p.node.idx, p.index), []) for p in node.inputs]
                 if hasattr(b, "set_tags") and in_tags:
                     b.set_tags(in_tags[0])
                 t0 = time.perf_counter()
-                states[node.idx], out = b.apply_chunk(states[node.idx], *xs)
+                if b.domain == "device" and b.n_out > 0 and b.jit_chunk:
+                    states[node.idx], out = self._device_call(node, "apply_chunk")(
+                        states[node.idx], *xs
+                    )
+                else:
+                    states[node.idx], out = b.apply_chunk(states[node.idx], *xs)
                 self._stats[node.idx] = self._stats.get(node.idx, 0.0) + (
                     time.perf_counter() - t0
                 )
