@@ -62,3 +62,26 @@ def parse_verbosity(s: str) -> int:
         raise ValueError(
             f"{s!r}: valid values are: error, warn, info, debug, trace"
         ) from None
+
+
+_COMBINE = None
+
+
+def stage_iq(x):
+    """Move a complex stream to the device safely.
+
+    Some TPU transports cannot transfer complex64 host<->device: host
+    arrays are staged as f32 real/imag pairs and combined on device.
+    Device arrays and real dtypes pass through.
+    """
+    import jax
+
+    if isinstance(x, np.ndarray) and np.iscomplexobj(x):
+        global _COMBINE
+        if _COMBINE is None:
+            _COMBINE = jax.jit(jax.lax.complex)
+        return _COMBINE(
+            jnp.asarray(np.ascontiguousarray(x.real, np.float32)),
+            jnp.asarray(np.ascontiguousarray(x.imag, np.float32)),
+        )
+    return jnp.asarray(x)

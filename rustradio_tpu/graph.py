@@ -45,13 +45,9 @@ def _stage_for(domain: str, x):
         return x
     if domain == "device":
         if isinstance(x, np.ndarray) and np.iscomplexobj(x):
-            global _COMBINE
-            if _COMBINE is None:
-                _COMBINE = jax.jit(jax.lax.complex)
-            return _COMBINE(
-                jnp.asarray(np.ascontiguousarray(x.real, np.float32)),
-                jnp.asarray(np.ascontiguousarray(x.imag, np.float32)),
-            )
+            from .dtypes import stage_iq
+
+            return stage_iq(x)
         return x
     # host domain: read complex device arrays back as f32 pairs
     if isinstance(x, jax.Array) and jnp.iscomplexobj(x):

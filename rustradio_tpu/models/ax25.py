@@ -27,6 +27,7 @@ import numpy as np
 
 from .. import taps as tapgen
 from .. import ops
+from ..dtypes import stage_iq
 
 
 @dataclasses.dataclass
@@ -101,15 +102,49 @@ def ax25_1200_rx(
     return [Ax25Packet(np.asarray(d), int(p)) for d, p in packets]
 
 
-def iq_front_end(iq, samp_rate: float, new_rate: float = 50_000.0, fast_fm: bool = False):
-    """Complex IQ -> FM-demodulated floats at new_rate
-    (examples/ax25-1200-rx.rs:163-188)."""
-    lp = tapgen.low_pass_complex(samp_rate, 20_000.0, 100.0, "hamming")
-    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
+@functools.partial(
+    jax.jit, static_argnames=("samp_rate", "new_rate", "cutoff", "twidth", "fast_fm")
+)
+def _channel_fm(iq, samp_rate, new_rate, cutoff, twidth, fast_fm=False):
+    """Channel low-pass -> resample -> FM demod, fused in one jit."""
+    lp = tapgen.low_pass_complex(samp_rate, cutoff, twidth, "hamming")
+    x = ops.fft_filter(iq, lp)
     x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
     if fast_fm:
         return ops.fast_fm(x)
     return ops.quadrature_demod(x, 1.0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("samp_rate", "new_rate", "cutoff", "iir_alpha")
+)
+def _burst_front(iq, samp_rate, new_rate, cutoff, iir_alpha):
+    """Burst front-end: channel filter + resample, emitting the power
+    envelope (for the burst gate) and the FM discriminator output."""
+    lp = tapgen.low_pass_complex(samp_rate, cutoff, 100.0, "hamming")
+    x = ops.fft_filter(iq, lp)
+    x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
+    power = ops.single_pole_iir(ops.complex_to_mag2(x), iir_alpha)
+    return power, ops.quadrature_demod(x, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("samp_rate", "cutoff"))
+def _afsk_discriminator(fm, samp_rate, cutoff):
+    """FM floats -> AFSK tone discriminator output (Hilbert + 2nd demod +
+    low-pass), one jit (examples/ax25-1200-wpcr.rs:105-120)."""
+    analytic = ops.hilbert_transform(fm, 65, "hamming")
+    afsk = ops.quadrature_demod(analytic, 1.0)
+    lp = tapgen.low_pass(samp_rate, cutoff, 100.0, "hamming")
+    return ops.fft_filter_float(afsk, lp)
+
+
+def iq_front_end(iq, samp_rate: float, new_rate: float = 50_000.0, fast_fm: bool = False):
+    """Complex IQ -> FM-demodulated floats at new_rate
+    (examples/ax25-1200-rx.rs:163-188).  Dense chain runs in one jit;
+    complex input is staged as f32 pairs (TPU transport constraint)."""
+    return _channel_fm(
+        stage_iq(iq), float(samp_rate), float(new_rate), 20_000.0, 100.0, bool(fast_fm)
+    )
 
 
 def ax25_1200_rx_iq(iq, samp_rate: float, **kw) -> list[Ax25Packet]:
@@ -131,10 +166,10 @@ def ax25_9600_rx(
     (reference examples/ax25-9600-rx.rs:136-207): 12.5 kHz channel filter ->
     resample to 50 kHz -> FM demod -> SymbolSync(zero-crossing TED, clamped
     IIR clock filter) -> slicer -> NRZI -> G3RUH descramble -> HDLC."""
-    lp = tapgen.low_pass_complex(samp_rate, 12_500.0, 100.0, "hamming")
-    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
-    x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
-    nrz = ops.quadrature_demod(x, 1.0)
+
+    nrz = _channel_fm(
+        stage_iq(iq), float(samp_rate), float(new_rate), 12_500.0, 100.0
+    )
     syms = ops.recover_symbols(
         np.asarray(nrz), float(new_rate) / baud, symbol_max_deviation, symbol_taps
     )
@@ -159,15 +194,11 @@ def ax25_1200_wpcr_rx(
     -> FM demod -> Hilbert -> second FM demod (AFSK tone discriminator) ->
     2.4 kHz low-pass -> power-gated burst capture -> Midpointer -> WPCR ->
     slicer -> NRZI -> HDLC (no descrambler at 1200 bd)."""
-    lp = tapgen.low_pass_complex(samp_rate, 20_000.0, 100.0, "hamming")
-    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
-    x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
-    power = ops.single_pole_iir(ops.complex_to_mag2(x), iir_alpha)
-    fm = ops.quadrature_demod(x, 1.0)
-    analytic = ops.hilbert_transform(fm, 65, "hamming")
-    afsk = ops.quadrature_demod(analytic, 1.0)
-    lp2 = tapgen.low_pass(new_rate, 2400.0, 100.0, "hamming")
-    nrz = ops.fft_filter_float(afsk, lp2)
+
+    power, fm = _burst_front(
+        stage_iq(iq), float(samp_rate), float(new_rate), 20_000.0, float(iir_alpha)
+    )
+    nrz = _afsk_discriminator(fm, float(new_rate), 2400.0)
     n = min(int(nrz.shape[0]), int(power.shape[0]))
     start, end = ops.burst_tagger(power[:n], threshold)
     bursts = ops.stream_to_pdu(
@@ -262,11 +293,9 @@ def ax25_9600_wpcr_rx(
 
     examples/ax25-9600-wpcr.rs:93-142.
     """
-    lp = tapgen.low_pass_complex(samp_rate, 20_000.0, 100.0, "hamming")
-    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
-    x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
-    power = ops.single_pole_iir(ops.complex_to_mag2(x), iir_alpha)
-    demod = ops.quadrature_demod(x, 1.0)
+    power, demod = _burst_front(
+        stage_iq(iq), float(samp_rate), float(new_rate), 20_000.0, float(iir_alpha)
+    )
     start, end = ops.burst_tagger(power[: demod.shape[0]], threshold)
     bursts = ops.stream_to_pdu(
         np.asarray(demod), np.asarray(start), np.asarray(end), max_burst, tail

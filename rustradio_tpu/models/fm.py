@@ -15,12 +15,13 @@ import numpy as np
 
 from .. import taps as tapgen
 from .. import ops
+from ..dtypes import stage_iq
 
 
 @functools.partial(
     jax.jit, static_argnames=("samp_rate", "cutoff", "twidth", "deci", "gain")
 )
-def fm_demod_chain(
+def _fm_demod_chain(
     iq,
     samp_rate: float = 1_024_000.0,
     cutoff: float = 100_000.0,
@@ -48,6 +49,30 @@ def fm_demod_chain(
     return ops.quadrature_demod(y, gain)
 
 
+def fm_demod_chain(
+    iq,
+    samp_rate: float = 1_024_000.0,
+    cutoff: float = 100_000.0,
+    twidth: float = 50_000.0,
+    deci: int = 4,
+    gain: float = 1.0,
+):
+    """Public entry: stages host complex input as f32 pairs (some TPU
+    transports cannot transfer complex64) and runs the jitted chain."""
+    return _fm_demod_chain(stage_iq(iq), samp_rate, cutoff, twidth, deci, gain)
+
+
+@functools.partial(jax.jit, static_argnames=("samp_rate", "audio_rate", "volume"))
+def _am_rx(iq, samp_rate, audio_rate, volume):
+    lp = tapgen.low_pass_complex(samp_rate, 12_500.0, 10_000.0, "hamming")
+    x = ops.fft_filter(iq, lp)
+    env = jnp.abs(x)
+    lp2 = tapgen.low_pass(samp_rate, audio_rate, 500.0, "hamming")
+    audio = ops.fft_filter_float(env, lp2)
+    audio = ops.rational_resampler(audio, int(audio_rate), int(samp_rate))
+    return audio * jnp.float32(volume)
+
+
 def am_rx(
     iq,
     samp_rate: float,
@@ -56,14 +81,8 @@ def am_rx(
 ):
     """AM receiver (reference examples/airspy_am_decode.rs:48-83):
     12.5 kHz channel filter -> envelope (|x|) -> audio low-pass ->
-    resample to audio rate -> volume."""
-    lp = tapgen.low_pass_complex(samp_rate, 12_500.0, 10_000.0, "hamming")
-    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
-    env = jnp.abs(x)
-    lp2 = tapgen.low_pass(samp_rate, audio_rate, 500.0, "hamming")
-    audio = ops.fft_filter_float(env, lp2)
-    audio = ops.rational_resampler(audio, int(audio_rate), int(samp_rate))
-    return audio * jnp.float32(volume)
+    resample to audio rate -> volume.  One jit; staged complex input."""
+    return _am_rx(stage_iq(iq), float(samp_rate), float(audio_rate), float(volume))
 
 
 def wbfm_rx(
@@ -72,9 +91,17 @@ def wbfm_rx(
     audio_rate: float = 48_000.0,
     channel_width: float = 100_000.0,
 ):
-    """Broadcast WBFM: channelize, demod, resample to audio, deemphasize."""
+    """Broadcast WBFM: channelize, demod, resample to audio, deemphasize.
+    One jit; staged complex input."""
+    return _wbfm_rx(stage_iq(iq), float(samp_rate), float(audio_rate), float(channel_width))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("samp_rate", "audio_rate", "channel_width")
+)
+def _wbfm_rx(iq, samp_rate, audio_rate, channel_width):
     lp = tapgen.low_pass_complex(samp_rate, channel_width, channel_width / 4, "hamming")
-    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
+    x = ops.fft_filter(iq, lp)
     quad_rate = samp_rate
     demod = ops.quadrature_demod(x, float(quad_rate / (2 * np.pi * 75_000.0)))
     audio = ops.rational_resampler(demod, int(audio_rate), int(samp_rate))
