@@ -25,12 +25,26 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True, help=".c32 IQ out")
     opt = p.parse_args(argv)
 
+    import functools
+
+    import jax
+
+    from ..dtypes import read_iq
+
     audio, rate = au.au_read(opt.read)
-    # upsample audio to the IQ rate, then FM modulate with a VCO
-    up = np.asarray(ops.rational_resampler(audio, int(opt.sample_rate), int(rate)))
-    iq, _ = ops.vco(up, k=2 * np.pi * float(opt.deviation) / float(opt.sample_rate))
-    rawfile.write_samples(opt.out, np.asarray(iq))
-    print(f"wrote {len(up)} IQ samples to {opt.out}", file=sys.stderr)
+
+    # upsample audio to the IQ rate, then FM modulate with a VCO; complex
+    # math runs under jit and is read back as f32 pairs (TPU transports)
+    @functools.partial(jax.jit, static_argnames=("sr", "ar", "dev"))
+    def modulate(a, sr, ar, dev):
+        up = ops.rational_resampler(a, int(sr), int(ar))
+        iq, _ = ops.vco(up, k=2 * np.pi * dev / sr)
+        return iq
+
+    iq = modulate(audio.astype(np.float32), float(opt.sample_rate), float(rate),
+                  float(opt.deviation))
+    rawfile.write_samples(opt.out, read_iq(iq))
+    print(f"wrote {iq.shape[0]} IQ samples to {opt.out}", file=sys.stderr)
     return 0
 
 

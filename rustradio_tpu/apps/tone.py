@@ -28,11 +28,19 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     opt = p.parse_args(argv)
 
+    import functools
+
+    import jax
+
+    from ..dtypes import read_iq
+
     n = int(opt.sample_rate * opt.seconds)
     if opt.real:
-        y = np.asarray(ops.signal_source_f(n, opt.sample_rate, opt.freq, opt.amplitude))
+        f = functools.partial(ops.signal_source_f, n, opt.sample_rate, opt.freq, opt.amplitude)
+        y = np.asarray(jax.jit(f)())
     else:
-        y = np.asarray(ops.signal_source_c(n, opt.sample_rate, opt.freq, opt.amplitude))
+        f = functools.partial(ops.signal_source_c, n, opt.sample_rate, opt.freq, opt.amplitude)
+        y = read_iq(jax.jit(f)())
     rawfile.write_samples(opt.out, y)
     print(f"wrote {n} samples to {opt.out}", file=sys.stderr)
     return 0

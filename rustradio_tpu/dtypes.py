@@ -85,3 +85,18 @@ def stage_iq(x):
             jnp.asarray(np.ascontiguousarray(x.imag, np.float32)),
         )
     return jnp.asarray(x)
+
+
+def read_iq(x) -> np.ndarray:
+    """Read a (possibly device) complex stream back to host complex64.
+
+    Complex device->host transfers are unsupported on some TPU transports;
+    read real/imag as two f32 arrays and recombine.
+    """
+    import jax
+
+    if isinstance(x, jax.Array) and jnp.iscomplexobj(x):
+        re = np.asarray(jnp.real(x))
+        im = np.asarray(jnp.imag(x))
+        return (re + 1j * im).astype(np.complex64)
+    return np.asarray(x)

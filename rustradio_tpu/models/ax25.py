@@ -27,7 +27,7 @@ import numpy as np
 
 from .. import taps as tapgen
 from .. import ops
-from ..dtypes import stage_iq
+from ..dtypes import read_iq, stage_iq
 
 
 @dataclasses.dataclass
@@ -272,11 +272,18 @@ def g3ruh_modulate(
         ops.rational_resampler(jnp.asarray(line, jnp.float32), int(if_rate), int(baud))
     )
     pn = np.where(line > 0, deviation, -deviation).astype(np.float32)
-    iq, _ = ops.vco(jnp.asarray(pn), 2.0 * np.pi / if_rate)
-    iq = iq * np.float32(amplitude)
+    return read_iq(_g3ruh_shape(pn, float(sample_rate), float(if_rate), float(amplitude)))
+
+
+@functools.partial(jax.jit, static_argnames=("sample_rate", "if_rate", "amplitude"))
+def _g3ruh_shape(pn, sample_rate, if_rate, amplitude):
+    """VCO + gain + RF resample + 8.8 kHz channel filter, one jit
+    (complex math must run under jit on some TPU transports)."""
+    iq, _ = ops.vco(pn, 2.0 * np.pi / if_rate)
+    iq = iq * jnp.float32(amplitude)
     iq = ops.rational_resampler(iq, int(sample_rate), int(if_rate))
     lp = tapgen.low_pass_complex(sample_rate, 8_800.0, 1_000.0, "hamming")
-    return np.asarray(ops.fft_filter(iq, lp))
+    return ops.fft_filter(iq, lp)
 
 
 def ax25_9600_wpcr_rx(
