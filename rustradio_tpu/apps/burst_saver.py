@@ -13,13 +13,28 @@ import os
 import sys
 import time
 
+import functools
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import ops
 from .. import taps as tapgen
-from ..dtypes import parse_frequency
+from ..dtypes import parse_frequency, read_iq, stage_iq
 from ..io import rawfile
+
+
+@functools.partial(
+    jax.jit, static_argnames=("samp_rate", "new_rate", "iir_alpha", "delay_n")
+)
+def _front(iq, samp_rate, new_rate, iir_alpha, delay_n):
+    lp = tapgen.low_pass_complex(samp_rate, 20_000.0, 100.0, "hamming")
+    x = ops.fft_filter(iq, lp)
+    x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
+    power = ops.single_pole_iir(ops.complex_to_mag2(x), iir_alpha)
+    # The reference delays the data path so the burst start isn't clipped.
+    return power, ops.delay(x, delay_n)
 
 
 def extract_bursts(
@@ -33,12 +48,10 @@ def extract_bursts(
 ) -> list[np.ndarray]:
     """Channel filter -> resample -> power-gate with pre-trigger delay ->
     segment extraction (reference examples/burst_saver.rs:90-126)."""
-    lp = tapgen.low_pass_complex(samp_rate, 20_000.0, 100.0, "hamming")
-    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
-    x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
-    power = ops.single_pole_iir(ops.complex_to_mag2(x), iir_alpha)
-    # The reference delays the data path so the burst start isn't clipped.
-    data = np.asarray(ops.delay(x, delay))
+    power, data_dev = _front(
+        stage_iq(iq), float(samp_rate), float(new_rate), float(iir_alpha), int(delay)
+    )
+    data = read_iq(data_dev)
     n = min(len(data), int(power.shape[0]))
     start, end = ops.burst_tagger(power[:n], threshold)
     return ops.stream_to_pdu(
