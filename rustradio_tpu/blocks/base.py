@@ -27,8 +27,10 @@ class Block:
     domain = "device"
     interp = 1
     deci = 1
-    # apply_chunk is wrapped in jax.jit by the streaming runner unless a
-    # block's chunk logic is Python-value-dependent (set jit_chunk = False).
+    # The runners wrap a device block's apply/apply_chunk in jax.jit.
+    # Set jit_chunk = False when the block's logic is not jax-traceable
+    # (Python-value-dependent control flow or host numpy inside) — the
+    # block then runs eagerly and must jit any complex-dtype math itself.
     jit_chunk = True
 
     def name(self) -> str:

@@ -2,13 +2,27 @@
 
 from __future__ import annotations
 
+import functools
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import ops
 from .base import Block
+
+_take = jax.jit(lambda v, idx: jnp.take(v, idx, axis=0))
+
+
+@functools.lru_cache(maxsize=None)
+def _drop_first(n: int):
+    return jax.jit(lambda v: v[n:])
+
+
+@functools.lru_cache(maxsize=None)
+def _keep_first(n: int):
+    return jax.jit(lambda v: v[:n])
 
 
 class RationalResampler(Block):
@@ -41,7 +55,9 @@ class RationalResampler(Block):
         out_end = -(-(in_off + n) * self.interp // self.deci)  # ceil
         k = np.arange(out_off, out_end)
         idx = (k * self.deci) // self.interp - in_off
-        y = jnp.take(jnp.asarray(x), jnp.asarray(idx), axis=0)
+        # jitted gather: eager ops on complex device arrays are
+        # unimplemented on some TPU transports
+        y = _take(jnp.asarray(x), jnp.asarray(idx))
         return {"in_off": in_off + n, "out_off": out_end}, y
 
 
@@ -82,7 +98,7 @@ class Skip(Block):
     def apply_chunk(self, state, x):
         left = state["left"]
         take = min(left, x.shape[0])
-        return {"left": left - take}, jnp.asarray(x)[take:]
+        return {"left": left - take}, _drop_first(take)(jnp.asarray(x))
 
 
 class Head(Block):
@@ -101,4 +117,4 @@ class Head(Block):
 
     def apply_chunk(self, state, x):
         take = min(state["left"], x.shape[0])
-        return {"left": state["left"] - take}, jnp.asarray(x)[:take]
+        return {"left": state["left"] - take}, _keep_first(take)(jnp.asarray(x))

@@ -12,12 +12,25 @@ from ..streams import Tag
 from .base import SourceBlock
 
 
+def _canonical(a: np.ndarray) -> np.ndarray:
+    """Canonicalize to the framework's stream dtypes (Float=f32,
+    Complex=c64, reference src/lib.rs:245-249): Python scalars otherwise
+    infer float64/complex128 and change the wire format of host sinks."""
+    if a.dtype == np.float64:
+        return a.astype(np.float32)
+    if a.dtype == np.complex128:
+        return a.astype(np.complex64)
+    if a.dtype == np.int64:
+        return a.astype(np.int32)
+    return a
+
+
 class VectorSource(SourceBlock):
     """In-memory source with repeat + start/repeat/first tags
     (reference src/vector_source.rs:50-80)."""
 
     def __init__(self, data, repeat: int = 1, tags: list[Tag] | None = None):
-        self.data = np.asarray(data)
+        self.data = _canonical(np.asarray(data))
         self.repeat = repeat
         self.user_tags = list(tags or [])
 
@@ -61,7 +74,7 @@ class ConstantSource(SourceBlock):
         return self.n
 
     def emit(self, offset, n):
-        return np.full(n, self.value)
+        return _canonical(np.full(n, self.value))
 
 
 class SignalSourceComplex(SourceBlock):

@@ -25,8 +25,6 @@ import numpy as np
 from .blocks.base import Block, SourceBlock
 from .streams import Tag
 
-_COMBINE = None
-
 
 def _stage_for(domain: str, x):
     """Move a value across the host/device boundary for a block.
@@ -51,9 +49,9 @@ def _stage_for(domain: str, x):
         return x
     # host domain: read complex device arrays back as f32 pairs
     if isinstance(x, jax.Array) and jnp.iscomplexobj(x):
-        re = np.asarray(jnp.real(x))
-        im = np.asarray(jnp.imag(x))
-        return (re + 1j * im).astype(np.complex64)
+        from .dtypes import read_iq
+
+        return read_iq(x)
     return x
 
 
@@ -180,7 +178,7 @@ class Graph:
                 out = b.apply()
                 total = b.total_len()
                 out_tags_src = b.emit_tags(0, total) if total is not None else []
-            elif b.domain == "device" and b.n_out > 0:
+            elif b.domain == "device" and b.n_out > 0 and b.jit_chunk:
                 out = self._device_call(node, "apply")(*xs)
                 out_tags_src = None
             else:

@@ -42,7 +42,7 @@ def rational_resampler(x, interp: int, deci: int):
         x = jnp.asarray(x)
         from .pallas_kernels import _on_tpu
 
-        if _on_tpu():
+        if _on_tpu() and x.ndim == 1:
             if x.dtype in (jnp.float32, jnp.complex64):
                 # TPU strided slices lower to gathers (~240 Msps); the
                 # unit-tap banded kernel decimates at memory speed (~15 Gsps).

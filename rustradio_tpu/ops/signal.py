@@ -22,12 +22,24 @@ def _phases(n: int, samp_rate: float, freq: float, offset: int) -> jnp.ndarray:
     return jnp.asarray(np.mod(k * rad, 2.0 * np.pi), jnp.float32)
 
 
+# jitted tails: complex math must not run eagerly on TPU tunnel
+# transports; amplitude is traced so offsets/gains don't recompile.
+@jax.jit
+def _sig_c(t, amplitude):
+    return amplitude * jax.lax.complex(jnp.sin(t), -jnp.cos(t))
+
+
+@jax.jit
+def _sig_f(t, amplitude):
+    return amplitude * jnp.sin(t)
+
+
 def signal_source_c(
     n: int, samp_rate: float, freq: float, amplitude: float = 1.0, offset: int = 0
 ):
     """Complex sine: amplitude * (sin t - i cos t), t advancing per sample."""
     t = _phases(n, samp_rate, freq, offset)
-    return jnp.float32(amplitude) * jax.lax.complex(jnp.sin(t), -jnp.cos(t))
+    return _sig_c(t, jnp.float32(amplitude))
 
 
 def signal_source_f(
@@ -35,4 +47,4 @@ def signal_source_f(
 ):
     """Real sine: amplitude * sin(t)."""
     t = _phases(n, samp_rate, freq, offset)
-    return jnp.float32(amplitude) * jnp.sin(t)
+    return _sig_f(t, jnp.float32(amplitude))

@@ -64,10 +64,12 @@ def symbol_sync(
     fb = jnp.asarray(taps[1:], F)  # multiplies history newest-first
 
     def clock_filter_clamped(fbuf, sample, lo, hi):
-        # reference src/iir_filter.rs:113-124
+        # reference src/iir_filter.rs:113-124.  Sequential sum (not
+        # jnp.dot) so the f32 association matches the native C++ port
+        # exactly for any tap count.
         ret = tap0 * sample
-        if order > 0:
-            ret = ret + jnp.dot(fb, fbuf)
+        for j in range(order):
+            ret = ret + fb[j] * fbuf[j]
         ret = jnp.clip(ret, lo, hi)
         if order > 0:
             fbuf = jnp.concatenate([ret[None], fbuf[:-1]])

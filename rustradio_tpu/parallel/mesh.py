@@ -14,11 +14,11 @@ def init_distributed(coordinator: str | None = None, num_processes: int | None =
     ``jax.distributed`` job and the mesh spans (host, chip) so collectives
     ride ICI within a host's slice and DCN between hosts).
 
-    No-ops when already initialized or when running single-process (the
-    common case under tests and the CPU dryrun).
+    MUST be the first JAX call in the process — touching devices (even
+    ``jax.process_count()``) initializes the local backend and makes
+    coordinated initialization impossible.  No-op without a coordinator
+    (single-process runs, tests, the CPU dryrun).
     """
-    if jax.process_count() > 1:
-        return
     if coordinator is None:
         return  # single-process
     jax.distributed.initialize(

@@ -134,7 +134,7 @@ def test_native_symbol_sync_matches_scan_exactly():
     t = np.arange(n)
     nrz = np.sign(np.sin(2 * np.pi * t / 36.75 + 0.3)).astype(np.float32)
     nrz = nrz * (0.8 + 0.1 * rng.randn(n).astype(np.float32))
-    for taps in ((0.5, 0.5), (0.0001, 0.99999999), (1.0,)):
+    for taps in ((0.5, 0.5), (0.0001, 0.99999999), (1.0,), (0.3, 0.4, 0.3)):
         (v, m, c), _ = symbol_sync(nrz, 36.75, 0.5, taps)
         want_v, want_c = compact(v, m), compact(c, m)
         got_v, got_c, _ = native.symbol_sync_f32(nrz, 36.75, 0.5, np.asarray(taps))
@@ -180,6 +180,9 @@ def test_native_hdlc_matches_python_state_machine():
         for i in range(0, len(bits), 97):
             got2.extend(nat2.feed(bits[i : i + 97]))
         assert len(got2) == len(want)
+        for (gd, gp), (wd, wp) in zip(got2, want):
+            assert gp == wp and np.array_equal(gd, wd)
+        assert nat2.stats == py.stats
 
 
 def test_native_symbol_sync_chunked_resume():
