@@ -147,6 +147,153 @@ class Graph:
             self._jit_cache[key] = f
         return f
 
+    # ---- segment fusion ----
+    def _fusable(self, n: Node) -> bool:
+        return (
+            n.block.domain == "device"
+            and n.block.n_out > 0
+            and n.block.jit_chunk
+            and not isinstance(n.block, SourceBlock)
+            and not hasattr(n.block, "set_tags")
+        )
+
+    def _segments(self) -> dict[int, list[Node]]:
+        """Maximal contiguous runs of fusable device nodes, keyed by the
+        first member's idx.  Each run compiles into ONE jit program —
+        the SURVEY §7 architecture stance (the reference's thread-per-block
+        pipeline becomes XLA fusion of the dense chain)."""
+        if not hasattr(self, "_segs"):
+            segs: dict[int, list[Node]] = {}
+            cur: list[Node] = []
+            for n in self._topo():
+                if self._fusable(n):
+                    cur.append(n)
+                else:
+                    if len(cur) > 1:
+                        segs[cur[0].idx] = cur
+                    cur = []
+            if len(cur) > 1:
+                segs[cur[0].idx] = cur
+            self._segs = segs
+            self._seg_member = {
+                m.idx: seg[0].idx for seg in segs.values() for m in seg
+            }
+        return self._segs
+
+    def _segment_io(self, seg: list[Node]):
+        member = {n.idx for n in seg}
+        ext_in: list[tuple[int, int]] = []
+        for n in seg:
+            for p in n.inputs:
+                key = (p.node.idx, p.index)
+                if p.node.idx not in member and key not in ext_in:
+                    ext_in.append(key)
+        ext_out: list[tuple[int, int]] = []
+        for m in self.nodes:
+            if m.idx in member:
+                continue
+            for p in m.inputs:
+                key = (p.node.idx, p.index)
+                if p.node.idx in member and key not in ext_out:
+                    ext_out.append(key)
+        return ext_in, ext_out
+
+    def _segment_fn(self, seg: list[Node], streaming: bool):
+        """Jitted composite over the whole segment (cached)."""
+        key = (seg[0].idx, "chunk" if streaming else "apply")
+        cached = self._jit_cache.get(key)
+        if cached is not None:
+            return cached
+        import jax
+
+        ext_in, ext_out = self._segment_io(seg)
+
+        def run_body(vals, states):
+            new_states = {}
+            for n in seg:
+                xs = [vals[(p.node.idx, p.index)] for p in n.inputs]
+                if streaming:
+                    new_states[n.idx], out = n.block.apply_chunk(states[n.idx], *xs)
+                else:
+                    out = n.block.apply(*xs)
+                outs = out if isinstance(out, tuple) else (out,)
+                for i, o in enumerate(outs):
+                    vals[(n.idx, i)] = o
+            return vals, new_states
+
+        if streaming:
+            def fn(states, *args):
+                vals, new_states = run_body(dict(zip(ext_in, args)), states)
+                return new_states, tuple(vals[k] for k in ext_out)
+        else:
+            def fn(*args):
+                vals, _ = run_body(dict(zip(ext_in, args)), None)
+                return tuple(vals[k] for k in ext_out)
+
+        cached = (ext_in, ext_out, jax.jit(fn))
+        self._jit_cache[key] = cached
+        return cached
+
+    def _segment_lens(self, seg, ext_in, args, states=None):
+        """Static per-node output lengths (for tag rescaling) via
+        eval_shape — no interior arrays are ever materialized."""
+        import jax
+
+        sig = tuple((tuple(np.shape(a)), str(getattr(a, "dtype", type(a)))) for a in args)
+        if states is not None:
+            import jax
+
+            sig = sig + tuple(
+                (tuple(np.shape(leaf)), str(getattr(leaf, "dtype", type(leaf))))
+                for leaf in jax.tree.leaves(states)
+            )
+        key = (seg[0].idx, "lens", sig, states is not None)
+        cached = self._jit_cache.get(key)
+        if cached is not None:
+            return cached
+        vals = dict(zip(ext_in, args))
+        lens: dict[int, list[int]] = {}
+        for n in seg:
+            xs = [vals[(p.node.idx, p.index)] for p in n.inputs]
+            if states is None:
+                sds = jax.eval_shape(lambda *a, _n=n: _n.block.apply(*a), *xs)
+            else:
+                _, sds = jax.eval_shape(
+                    lambda s, *a, _n=n: _n.block.apply_chunk(s, *a), states[n.idx], *xs
+                )
+            sds = sds if isinstance(sds, tuple) else (sds,)
+            for i, sd in enumerate(sds):
+                vals[(n.idx, i)] = sd
+            lens[n.idx] = [sd.shape[0] if sd.shape else 0 for sd in sds]
+        self._jit_cache[key] = lens
+        return lens
+
+    def _run_segment(self, seg, values, tags, states=None):
+        """Execute a fused segment; fills values (external ports only) and
+        tags (all member ports); returns new states for members."""
+        ext_in, ext_out, fn = self._segment_fn(seg, streaming=states is not None)
+        args = [_stage_for("device", values[k]) for k in ext_in]
+        t0 = time.perf_counter()
+        if states is None:
+            outs = fn(*args)
+            new_states = None
+        else:
+            seg_states = {n.idx: states[n.idx] for n in seg}
+            new_states, outs = fn(seg_states, *args)
+        dt = (time.perf_counter() - t0) / len(seg)
+        for n in seg:
+            self._stats[n.idx] = self._stats.get(n.idx, 0.0) + dt
+        for k, o in zip(ext_out, outs):
+            values[k] = o
+        lens = self._segment_lens(
+            seg, ext_in, args, states={n.idx: states[n.idx] for n in seg} if states else None
+        )
+        for n in seg:
+            in_tags = [tags.get((p.node.idx, p.index), []) for p in n.inputs]
+            for i, ot in enumerate(n.block.process_tags(in_tags, lens[n.idx])):
+                tags[(n.idx, i)] = ot
+        return new_states
+
     def _topo(self) -> list[Node]:
         # nodes are appended after their inputs, so insertion order is topo
         # as long as users build forward; verify anyway.
@@ -162,9 +309,15 @@ class Graph:
         """Offline mode: evaluate every block once over whole streams."""
         values: dict[tuple[int, int], Any] = {}
         tags: dict[tuple[int, int], list[Tag]] = {}
+        segs = self._segments()
         for node in self._topo():
             if self._token.is_cancelled():
                 break
+            seg_first = self._seg_member.get(node.idx)
+            if seg_first is not None:
+                if seg_first == node.idx:
+                    self._run_segment(segs[seg_first], values, tags)
+                continue
             b = node.block
             xs = [
                 _stage_for(b.domain, values[(p.node.idx, p.index)])
@@ -264,8 +417,16 @@ class Graph:
             n_chunk = min(chunk_size, total - offset)
             values: dict[tuple[int, int], Any] = {}
             tags: dict[tuple[int, int], list[Tag]] = {}
+            segs = self._segments()
             for node in self._topo():
                 b = node.block
+                seg_first = self._seg_member.get(node.idx)
+                if seg_first is not None:
+                    if seg_first == node.idx:
+                        states.update(
+                            self._run_segment(segs[seg_first], values, tags, states=states)
+                        )
+                    continue
                 if isinstance(b, SourceBlock):
                     t0 = time.perf_counter()
                     out = b.emit(offset, n_chunk)
