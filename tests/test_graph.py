@@ -315,3 +315,58 @@ def test_reader_writer_blocks(tmp_path):
     g.chain(blocks.ReaderSource(pyio.BytesIO(data.tobytes())), blocks.WriterSink(out))
     g.run()
     assert out.getvalue() == data.tobytes()
+
+
+def test_fused_segment_tags_and_values():
+    # A fused device segment containing a decimating block must still
+    # rescale tag positions per block and produce the same values as the
+    # unfused ops (segment fusion: graph.Graph._segments).
+    from rustradio_tpu import ops, taps as tg
+    from rustradio_tpu.streams import Tag
+
+    rng = np.random.RandomState(0)
+    x = (rng.randn(4096) + 1j * rng.randn(4096)).astype(np.complex64)
+    taps = tg.low_pass_complex(8000.0, 1000.0, 500.0, "hamming")
+    src = blocks.VectorSource(x, tags=[Tag(100, "mark", 1), Tag(2000, "mark", 2)])
+    fir = blocks.FirFilter(taps, deci=2)
+    demod = blocks.QuadratureDemod(1.0)
+    mul = blocks.MultiplyConst(3.0)
+    sink = blocks.VectorSink()
+    g = Graph()
+    g.chain(src, fir, demod, mul, sink)
+    assert any(len(s) >= 3 for s in g._segments().values())  # fusion engaged
+    g.run()
+    want = np.asarray(
+        ops.quadrature_demod(ops.fir_filter(x, taps, 2), 1.0)
+    ) * np.float32(3.0)
+    np.testing.assert_allclose(sink.data(), want, atol=2e-5)
+    keys = {(t.key, t.pos) for t in sink.tags()}
+    assert ("mark", 50) in keys and ("mark", 1000) in keys
+
+
+def test_fused_segment_streaming_matches_offline():
+    from rustradio_tpu import taps as tg
+
+    rng = np.random.RandomState(1)
+    x = (rng.randn(50_000) + 1j * rng.randn(50_000)).astype(np.complex64)
+    taps = tg.low_pass_complex(8000.0, 1000.0, 500.0, "hamming")
+
+    def build():
+        g = Graph()
+        sink = blocks.VectorSink()
+        g.chain(
+            blocks.VectorSource(x),
+            blocks.FftFilter(taps),
+            blocks.QuadratureDemod(1.0),
+            blocks.AddConst(0.25),
+            sink,
+        )
+        return g, sink
+
+    g1, s1 = build()
+    g1.run()
+    g2, s2 = build()
+    g2.run_stream(chunk_size=7000)
+    # chunked overlap-save picks a different fft_size than offline, so
+    # roundoff differs slightly near block boundaries
+    np.testing.assert_allclose(s2.data(), s1.data(), atol=1e-3)
