@@ -20,6 +20,31 @@ Layout:
 * :mod:`rustradio_tpu.models` — full receiver chains (AX.25, FM, ...)
 """
 
+import os as _os
+
+
+def _enable_compilation_cache() -> None:
+    """Persist XLA compiles across processes (first TPU compile of a CLI
+    app otherwise costs tens of seconds on every invocation).  Opt out
+    with RUSTRADIO_TPU_NO_CACHE=1."""
+    if _os.environ.get("RUSTRADIO_TPU_NO_CACHE"):
+        return
+    try:
+        import jax
+
+        path = _os.environ.get(
+            "RUSTRADIO_TPU_CACHE_DIR",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "rustradio_tpu_xla"),
+        )
+        _os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is best-effort
+        pass
+
+
+_enable_compilation_cache()
+
 from . import dtypes, taps, windows
 from .dtypes import Complex, Float, parse_frequency, parse_verbosity
 from .graph import CancellationToken, Graph
