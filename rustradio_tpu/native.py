@@ -99,6 +99,11 @@ def _load():
             ctypes.c_void_p, ctypes.c_size_t,
         ]
         lib.rr_hdlc_stats.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint64)]
+        lib.rr_zero_crossing.restype = ctypes.c_size_t
+        lib.rr_zero_crossing.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_float,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         lib.rr_symbol_sync.restype = ctypes.c_size_t
         lib.rr_symbol_sync.argtypes = [
             ctypes.c_void_p, ctypes.c_size_t, ctypes.c_float, ctypes.c_float,
@@ -340,3 +345,31 @@ class HdlcDeframer:
         buf = (ctypes.c_uint64 * 3)()
         self._lib.rr_hdlc_stats(self._ptr, buf)
         return {"decoded": int(buf[0]), "crc_error": int(buf[1]), "bitfixed": int(buf[2])}
+
+
+def zero_crossing_f32(x: np.ndarray, sps: float, state: dict | None = None):
+    """Native fixed-clock zero-crossing recovery (rr_zero_crossing).
+
+    Returns (symbols, final_state_dict) or None when unavailable; exact
+    replication of ops.zero_crossing_sync, state keys interoperable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    st = np.zeros(3, np.float32)
+    if state is not None:
+        st[0] = 1.0 if bool(np.asarray(state["last_sign"])) else 0.0
+        st[1] = np.float32(state["last_cross"])
+        st[2] = np.float32(int(state["counter"]))
+    vals = np.empty(len(x), np.float32)
+    k = lib.rr_zero_crossing(
+        x.ctypes.data_as(ctypes.c_void_p), len(x), ctypes.c_float(np.float32(sps)),
+        st.ctypes.data_as(ctypes.c_void_p), vals.ctypes.data_as(ctypes.c_void_p),
+    )
+    final = dict(
+        last_sign=bool(st[0] != 0.0),
+        last_cross=np.float32(st[1]),
+        counter=np.uint32(st[2]),
+    )
+    return vals[:k].copy(), final

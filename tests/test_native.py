@@ -216,3 +216,29 @@ def test_native_symbol_sync_chunked_resume():
     (v2, m2, _), _ = symbol_sync(nrz[50_000:], 36.75, 0.5, (0.5, 0.5), state=st1)
     tail = compact(v2, m2)
     assert np.array_equal(np.concatenate([v1, tail]), want_v)
+
+
+def test_native_zero_crossing_matches_scan():
+    import numpy as np
+    from rustradio_tpu import native
+    from rustradio_tpu.ops.symbol_sync import compact, zero_crossing_sync
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.RandomState(9)
+    n = 150_000
+    t = np.arange(n)
+    nrz = np.sign(np.sin(2 * np.pi * t / 20.5 + 0.7)).astype(np.float32)
+    nrz = nrz * (0.9 + 0.05 * rng.randn(n).astype(np.float32))
+    (v, m), _ = zero_crossing_sync(nrz, 20.5)
+    want = compact(v, m)
+    got, _ = native.zero_crossing_f32(nrz, 20.5)
+    assert np.array_equal(got, want)
+    # chunked native resume
+    parts, st = [], None
+    for i in range(0, n, 6301):
+        vv, st = native.zero_crossing_f32(nrz[i : i + 6301], 20.5, state=st)
+        parts.append(vv)
+    assert np.array_equal(np.concatenate(parts), want)
