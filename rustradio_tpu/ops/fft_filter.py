@@ -124,6 +124,25 @@ def fft_filter_decimate(x, taps, deci: int, fft_size: int | None = None):
 
 def fft_filter_float(x, taps, fft_size: int | None = None):
     """Float-in/float-out FFT filter (reference FftFilterFloat,
-    src/fft_filter.rs:357-491, which runs the complex filter and takes re)."""
-    y = fft_filter(jnp.asarray(x, jnp.float32).astype(jnp.complex64), taps, fft_size)
-    return jnp.real(y)
+    src/fft_filter.rs:357-491, which runs the complex filter and takes re).
+
+    Real input uses rfft/irfft — half the FFT work of the reference's
+    complex-filter-in-a-trenchcoat approach."""
+    taps = np.asarray(taps)
+    if np.iscomplexobj(taps):  # reference takes float taps; guard anyway
+        y = fft_filter(jnp.asarray(x, jnp.float32).astype(jnp.complex64), taps, fft_size)
+        return jnp.real(y)
+    x = jnp.asarray(x, jnp.float32)
+    n = x.shape[0]
+    ntaps = len(taps)
+    overlap = ntaps - 1
+    if fft_size is None:
+        fft_size = _pick_fft_size(ntaps, n)
+    hop = fft_size - overlap
+    frames, _ = overlap_save_frames(x, overlap, hop)
+    taps_fft = jnp.asarray(
+        np.fft.rfft(np.asarray(taps, np.float64), fft_size).astype(np.complex64)
+    )
+    spec = jnp.fft.rfft(frames, axis=-1)
+    conv = jnp.fft.irfft(spec * taps_fft[None, :], n=fft_size, axis=-1)
+    return conv[:, overlap:].reshape(-1)[:n]
