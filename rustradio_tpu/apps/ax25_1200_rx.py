@@ -32,6 +32,15 @@ def main(argv=None) -> int:
         "--symbol_taps", default="0.5,0.5", help="clock filter taps, comma separated"
     )
     p.add_argument("--symbol_max_deviation", type=float, default=0.5)
+    p.add_argument(
+        "--demod", choices=["discriminator", "tones"], default="discriminator",
+        help="audio demod: reference discriminator chain or the more "
+        "sensitive dual-tone correlator",
+    )
+    p.add_argument(
+        "--keep_checksum", action="store_true",
+        help="emit frames without CRC verification (structural recovery)",
+    )
     p.add_argument("-v", "--verbose", action="count", default=0)
     opt = p.parse_args(argv)
 
@@ -42,6 +51,7 @@ def main(argv=None) -> int:
         pkts = ax25_1200_rx(
             audio, float(rate), fix_bits=opt.fix_bits,
             symbol_taps=taps, symbol_max_deviation=opt.symbol_max_deviation,
+            demod=opt.demod, keep_checksum=opt.keep_checksum,
         )
     else:
         if opt.read.endswith((".sigmf", ".sigmf-meta", ".sigmf-data")):

@@ -84,21 +84,62 @@ def bell202_demod(audio, samp_rate: float):
     return ops.add_const(filt, -jnp.float32(2.0 * np.pi * center / samp_rate))
 
 
+@functools.partial(jax.jit, static_argnames=("samp_rate",))
+def bell202_tone_demod(audio, samp_rate: float):
+    """Dual-tone correlator AFSK demod: audio -> NRZ floats.
+
+    Mixes the audio against both Bell-202 tones and compares windowed
+    energies (window = one symbol period).  More noise-robust than the
+    discriminator chain — it recovers the damaged KOESTW-15 beacon in the
+    reference's own testdata/aprs.au structurally, which the reference's
+    discriminator front-end cannot (no reference equivalent).
+    """
+    fs = float(samp_rate)
+    n = jnp.arange(audio.shape[0], dtype=jnp.float32)
+    w = int(fs / 1200.0)
+    k = np.ones(w, np.float32) / w
+
+    def tone_energy(f):
+        ph = jnp.float32(2.0 * np.pi * f / fs) * n
+        re = audio * jnp.cos(ph)
+        im = audio * -jnp.sin(ph)
+        # centered moving average == np.convolve(..., 'same')
+        pad = (len(k) - 1) // 2
+        er = ops.fir_filter_full(jnp.pad(re, (0, pad)), k)[pad:]
+        ei = ops.fir_filter_full(jnp.pad(im, (0, pad)), k)[pad:]
+        return er * er + ei * ei
+
+    e_mark = tone_energy(1200.0)
+    e_space = tone_energy(2200.0)
+    return (e_space - e_mark) / (e_space + e_mark + jnp.float32(1e-9))
+
+
 def ax25_1200_rx(
     audio,
     samp_rate: float,
     fix_bits: bool = False,
     symbol_taps=(0.5, 0.5),
     symbol_max_deviation: float = 0.5,
+    demod: str = "discriminator",
+    keep_checksum: bool = False,
 ) -> list[Ax25Packet]:
-    """Decode AX.25 packets from Bell-202 AFSK audio (float32 stream)."""
+    """Decode AX.25 packets from Bell-202 AFSK audio (float32 stream).
+
+    ``demod``: "discriminator" (the reference chain) or "tones" (the
+    dual-tone correlator, more sensitive on weak signals).
+    """
     audio = jnp.asarray(audio, jnp.float32)
-    nrz = bell202_demod(audio, float(samp_rate))
+    if demod == "tones":
+        nrz = bell202_tone_demod(audio, float(samp_rate))
+    else:
+        nrz = bell202_demod(audio, float(samp_rate))
     symbols = ops.recover_symbols(
         np.asarray(nrz), float(samp_rate) / 1200.0, symbol_max_deviation, symbol_taps
     )
     bits = np.asarray(ops.nrzi_decode(ops.binary_slicer(jnp.asarray(symbols))))
-    packets, stats = ops.hdlc_deframe(bits, 10, 1500, fix_bits=fix_bits)
+    packets, stats = ops.hdlc_deframe(
+        bits, 10, 1500, keep_checksum=keep_checksum, fix_bits=fix_bits
+    )
     return [Ax25Packet(np.asarray(d), int(p)) for d, p in packets]
 
 

@@ -94,32 +94,29 @@ def test_aprs_au_structural_recovery():
 
 @pytest.mark.skipif(not os.path.exists(APRS_AU), reason="reference testdata absent")
 def test_aprs_au_tone_correlator_recovers_frame():
-    # A dual-tone-correlator front-end (beyond the reference's chain)
-    # recovers the KOESTW-15 beacon structurally.
+    # The dual-tone-correlator front-end (models.ax25.bell202_tone_demod,
+    # beyond the reference's chain) recovers the KOESTW-15 beacon
+    # structurally.
     audio, rate = au.au_read(APRS_AU, 44100)
-    fs = float(rate)
-    n = np.arange(len(audio))
-    w = int(fs / 1200)
-    k = np.ones(w) / w
-
-    def tone_energy(f):
-        mixed = audio * np.exp(-2j * np.pi * f / fs * n)
-        return (
-            np.convolve(mixed.real, k, "same") ** 2
-            + np.convolve(mixed.imag, k, "same") ** 2
-        )
-
-    e_m, e_s = tone_energy(1200.0), tone_energy(2200.0)
-    nrz = ((e_s - e_m) / (e_s + e_m + 1e-9)).astype(np.float32)
-    (vals, mask, _), _ = ops.symbol_sync(nrz, fs / 1200.0, 0.5, [0.5, 0.5])
-    syms = np.asarray(vals)[np.asarray(mask)]
-    bits = np.asarray(ops.nrzi_decode(ops.binary_slicer(syms)))
-    pkts, stats = ops.hdlc_deframe(bits, 10, 1500, keep_checksum=True)
-    assert stats["decoded"] == 1
-    frame = pkts[0][0]
+    pkts = ax25_1200_rx(audio, float(rate), demod="tones", keep_checksum=True)
+    assert len(pkts) == 1
+    frame = pkts[0].data
     addrs, info = parse_ax25(frame[:-2])
     assert addrs[0].startswith("APNL51") or addrs[0].startswith("APLG")
     assert b"KOESTW" in bytes(frame)
+
+
+def test_tone_demod_more_sensitive_than_discriminator():
+    # At an SNR where the discriminator chain loses the frame, the tone
+    # correlator still decodes it (CRC-verified).
+    rng = np.random.RandomState(8)
+    payload = b"WEAK SIGNAL SENSITIVITY TEST"
+    audio = make_afsk(payload, amp=0.5)
+    noisy = audio + rng.randn(len(audio)).astype(np.float32) * 0.3
+    disc = ax25_1200_rx(noisy, 44100.0)
+    tone = ax25_1200_rx(noisy, 44100.0, demod="tones")
+    assert [bytes(p) for p in tone] == [payload]
+    assert len(disc) == 0  # guards the "more sensitive" claim stays true
 
 
 def test_ax25_9600_wpcr_synthetic():
