@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency harness: the time-sharded FM chain, weak-scaled.
+
+Runs the sharded chain (parallel/sharded.py::sharded_fm_demod) on meshes of
+1..N devices with a fixed per-device shard, reporting samples/s and the
+efficiency vs the 1-device rate (the SURVEY north star is >=80% from one
+chip to N hosts).  On real pods run it as-is; without TPU hardware use
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python bench_scaling.py
+
+(CPU-mesh numbers validate the harness and the collective layout, not the
+hardware scaling — virtual CPU devices share cores.)
+
+Prints one JSON line per mesh size.
+"""
+
+import json
+import time
+
+import jax
+
+if "cpu" in __import__("os").environ.get("JAX_PLATFORMS", ""):
+    jax.config.update("jax_platforms", "cpu")
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from rustradio_tpu import taps as tg
+    from rustradio_tpu.parallel import make_mesh, sharded_fm_demod
+
+    lp = tg.low_pass_complex(1_024_000.0, 100_000.0, 50_000.0, "hamming")
+    deci = 4
+    shard = 1 << 20  # samples per device
+    iters = 8
+    ndev = len(jax.devices())
+    base_rate = None
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev]
+    for n_sh in sizes:
+        mesh = make_mesh(n_sh)
+        n = n_sh * shard
+
+        @jax.jit
+        def loop(key, scales):
+            a, b = jax.random.normal(key, (2, n), jnp.float32)
+            x = jax.lax.complex(a, b)
+            x = jax.device_put(
+                x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("time"))
+            )
+
+            def body(c, s):
+                y = sharded_fm_demod(x * s, taps=lp, mesh=mesh, deci=deci, gain=1.0)
+                return c + y[-1] + y[y.shape[0] // 2], None
+
+            c, _ = jax.lax.scan(body, jnp.float32(0), scales)
+            return c
+
+        key = jax.random.PRNGKey(0)
+        scales = jnp.linspace(1.0, 1.001, iters)
+        float(loop(key, scales))  # compile
+        t0 = time.perf_counter()
+        float(loop(key, scales))
+        dt = (time.perf_counter() - t0) / iters
+        rate = n / dt / 1e6
+        if base_rate is None:
+            base_rate = rate
+        eff = rate / (base_rate * n_sh)
+        print(
+            json.dumps(
+                {
+                    "metric": "sharded_fm_demod_weak_scaling",
+                    "devices": n_sh,
+                    "value": round(rate, 1),
+                    "unit": "Msamples/s",
+                    "efficiency_vs_1dev": round(eff, 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
