@@ -78,3 +78,34 @@ def test_spectrogram_and_render():
     art = render_ascii(db, width=40, height=10)
     assert len(art.splitlines()) == 10
     assert render_ascii(np.zeros((0, 4))) == "(no data)"
+
+
+def test_stream_resume_through_symbol_sync(tmp_path):
+    # Checkpoint/resume across a digital receive tail, including the
+    # native symbol-sync state dict (interoperable with the scan's).
+    n = 60_000
+    t = np.arange(n)
+    nrz = np.sign(np.sin(2 * np.pi * t / 36.75 + 0.4)).astype(np.float32)
+    ckpt = str(tmp_path / "sync.npz")
+
+    def build():
+        g = Graph()
+        s = blocks.VectorSink()
+        g.chain(
+            blocks.VectorSource(nrz),
+            blocks.SymbolSync(36.75, 0.5, (0.5, 0.5)),
+            blocks.BinarySlicer(),
+            s,
+        )
+        return g, s
+
+    g1, s1 = build()
+    g1.run_stream(chunk_size=7000)
+
+    g2, s2 = build()
+    g2.run_stream(chunk_size=7000, max_chunks=4, checkpoint_path=ckpt, checkpoint_every=1)
+    g3, s3 = build()
+    g3.run_stream(chunk_size=7000, resume_from=ckpt)
+
+    resumed = np.concatenate([s2.data(), s3.data()])
+    assert np.array_equal(resumed, s1.data())
