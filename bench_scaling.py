@@ -12,21 +12,23 @@ chip to N hosts).  On real pods run it as-is; without TPU hardware use
 (CPU-mesh numbers validate the harness and the collective layout, not the
 hardware scaling — virtual CPU devices share cores.)
 
+Timing follows bench.py / CLAUDE.md: >=64 iterations inside one jit with
+per-iteration input variation, one scalar readback, and a 1-iteration
+calibration run to cancel the fixed dispatch/readback overhead.
+
 Prints one JSON line per mesh size.
 """
 
 import json
+import os
 import time
 
 import jax
 
-if "cpu" in __import__("os").environ.get("JAX_PLATFORMS", ""):
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
     jax.config.update("jax_platforms", "cpu")
 
-import functools
-
 import jax.numpy as jnp
-import numpy as np
 
 
 def main() -> None:
@@ -36,11 +38,11 @@ def main() -> None:
     lp = tg.low_pass_complex(1_024_000.0, 100_000.0, 50_000.0, "hamming")
     deci = 4
     shard = 1 << 20  # samples per device
-    iters = 8
     ndev = len(jax.devices())
+    on_tpu = jax.devices()[0].platform != "cpu"
+    iters = 64 if on_tpu else 8
     base_rate = None
-    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev]
-    for n_sh in sizes:
+    for n_sh in [n for n in (1, 2, 4, 8, 16, 32) if n <= ndev]:
         mesh = make_mesh(n_sh)
         n = n_sh * shard
 
@@ -61,14 +63,18 @@ def main() -> None:
 
         key = jax.random.PRNGKey(0)
         scales = jnp.linspace(1.0, 1.001, iters)
-        float(loop(key, scales))  # compile
+        float(loop(key, scales[:1]))  # compile 1-iter program
+        float(loop(key, scales))  # compile full program
+        t0 = time.perf_counter()
+        float(loop(key, scales[:1]))
+        t_one = time.perf_counter() - t0
         t0 = time.perf_counter()
         float(loop(key, scales))
-        dt = (time.perf_counter() - t0) / iters
+        t_full = time.perf_counter() - t0
+        dt = max((t_full - t_one) / (iters - 1), 1e-9)
         rate = n / dt / 1e6
         if base_rate is None:
             base_rate = rate
-        eff = rate / (base_rate * n_sh)
         print(
             json.dumps(
                 {
@@ -76,7 +82,7 @@ def main() -> None:
                     "devices": n_sh,
                     "value": round(rate, 1),
                     "unit": "Msamples/s",
-                    "efficiency_vs_1dev": round(eff, 3),
+                    "efficiency_vs_1dev": round(rate / (base_rate * n_sh), 3),
                 }
             )
         )

@@ -29,6 +29,10 @@ def _enable_compilation_cache() -> None:
     with RUSTRADIO_TPU_NO_CACHE=1."""
     if _os.environ.get("RUSTRADIO_TPU_NO_CACHE"):
         return
+    if "cpu" in _os.environ.get("JAX_PLATFORMS", ""):
+        # CPU AOT results are machine-feature-specific; caching them
+        # across hosts risks SIGILL.  The cache is for the TPU paths.
+        return
     try:
         import jax
 

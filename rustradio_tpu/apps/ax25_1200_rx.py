@@ -68,7 +68,8 @@ def main(argv=None) -> int:
             rate = opt.sample_rate
         pkts = ax25_1200_rx_iq(iq, float(rate), fix_bits=opt.fix_bits,
                                symbol_taps=taps,
-                               symbol_max_deviation=opt.symbol_max_deviation)
+                               symbol_max_deviation=opt.symbol_max_deviation,
+                               demod=opt.demod, keep_checksum=opt.keep_checksum)
     dt = time.time() - t0
 
     if opt.out:

@@ -183,6 +183,8 @@ class ZeroCrossing(Block):
     domain = "host"
 
     def __init__(self, sps: float, max_deviation: float = 0.5):
+        if not sps > 1.0:
+            raise ValueError("sps must be > 1")
         self.sps = sps
         self.max_deviation = max_deviation
 

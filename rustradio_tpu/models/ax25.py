@@ -32,7 +32,11 @@ from ..dtypes import read_iq, stage_iq
 
 @dataclasses.dataclass
 class Ax25Packet:
-    """One decoded AX.25 frame (CRC already checked and stripped)."""
+    """One decoded AX.25 frame.
+
+    CRC checked and stripped, unless decoded with ``keep_checksum=True``
+    (structural recovery) — then ``data`` keeps the 2 unverified CRC bytes.
+    """
 
     data: np.ndarray  # payload bytes, CRC stripped
     bit_pos: int  # bit-stream position of the frame end
@@ -94,13 +98,23 @@ def bell202_tone_demod(audio, samp_rate: float):
     reference's own testdata/aprs.au structurally, which the reference's
     discriminator front-end cannot (no reference equivalent).
     """
+    import math
+
     fs = float(samp_rate)
-    n = jnp.arange(audio.shape[0], dtype=jnp.float32)
+    n32 = jnp.arange(audio.shape[0], dtype=jnp.int32)
     w = int(fs / 1200.0)
     k = np.ones(w, np.float32) / w
 
     def tone_energy(f):
-        ph = jnp.float32(2.0 * np.pi * f / fs) * n
+        # Reduce the phase index modulo the tone's sample period so f32
+        # phase stays small — a raw f32 c*arange(n) loses ~0.5 rad past a
+        # few-minute capture and turns the mixer into staircase noise.
+        if fs == int(fs) and f == int(f):
+            period = int(fs) // math.gcd(int(f), int(fs))
+            idx = (n32 % period).astype(jnp.float32)
+        else:
+            idx = n32.astype(jnp.float32)
+        ph = jnp.float32(2.0 * np.pi * f / fs) * idx
         re = audio * jnp.cos(ph)
         im = audio * -jnp.sin(ph)
         # centered moving average == np.convolve(..., 'same')
