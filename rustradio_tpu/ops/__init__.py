@@ -35,7 +35,8 @@ from .vco import vco
 from .symbol_sync import recover_symbols, symbol_sync, zero_crossing_sync
 from .hdlc import calc_crc, fcs_add, hdlc_deframe, hdlc_frame
 from .wpcr import midpoint, wpcr
-from .burst import burst_tagger, stream_to_pdu
+from .burst import burst_tagger, pdu_average, stream_to_pdu
+from .cma import cma_equalize
 from .correlate import correlate_access_code
 from .fft import fft_pdu, fft_stream
 from .signal import signal_source_c, signal_source_f
