@@ -1,0 +1,71 @@
+"""Wideband channel scanner: polyphase-channelize a capture, report the
+strongest channels and optionally FM-demodulate one to audio.
+
+A showcase of the channel-parallel dimension (SURVEY §2.6 item 6 — the
+256-channel PFB + per-channel demod bank, no reference equivalent).
+
+Usage:
+    python -m rustradio_tpu.apps.scanner -r wideband.c32 --sample_rate 2.56m
+    python -m rustradio_tpu.apps.scanner -r wideband.c32 --sample_rate 2.56m \
+        --demod 37 --out ch37.f32
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..dtypes import parse_frequency, stage_iq
+from ..io import rawfile
+from ..parallel.channelizer import channelizer_taps, pfb_channelize
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("-r", "--read", required=True, help="complex64 IQ capture")
+    p.add_argument("--sample_rate", type=parse_frequency, required=True)
+    p.add_argument("-n", "--channels", type=int, default=256)
+    p.add_argument("--top", type=int, default=10, help="channels to report")
+    p.add_argument("--demod", type=int, help="FM-demod this channel index")
+    p.add_argument("-o", "--out", help="write demodulated channel audio (.f32)")
+    opt = p.parse_args(argv)
+
+    iq = rawfile.read_samples(opt.read, "c32")
+    M = opt.channels
+    taps = channelizer_taps(M, 8)
+    fs = float(opt.sample_rate)
+
+    @jax.jit
+    def scan(x):
+        ch = pfb_channelize(x, taps, M)  # (frames, M)
+        power = jnp.mean(jnp.real(ch) ** 2 + jnp.imag(ch) ** 2, axis=0)
+        d = jnp.conj(ch[:-1]) * ch[1:]
+        demod = jnp.arctan2(
+            jnp.imag(d).astype(jnp.float32), jnp.real(d).astype(jnp.float32)
+        )
+        return power, demod
+
+    power, demod = scan(stage_iq(iq))
+    power = np.asarray(power)
+    order = np.argsort(power)[::-1][: opt.top]
+    print(f"{'chan':>5} {'freq':>12} {'power dB':>9}")
+    for k in order:
+        # channel k center: k*fs/M, wrapping to negative above M/2
+        f = (k if k < M / 2 else k - M) * fs / M
+        print(f"{k:5d} {f/1e3:10.1f}k {10*np.log10(power[k]+1e-20):9.1f}")
+
+    if opt.demod is not None:
+        audio = np.asarray(demod[:, opt.demod])
+        if opt.out:
+            rawfile.write_samples(opt.out, audio, "f32")
+            print(f"wrote {len(audio)} samples (channel {opt.demod}, "
+                  f"{fs/M/1e3:.1f} ksps) to {opt.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
