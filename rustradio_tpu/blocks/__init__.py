@@ -16,7 +16,7 @@ from .sources import (
     SignalSourceFloat,
     VectorSource,
 )
-from .sinks import DebugSink, FileSink, NullSink, VectorSink
+from .sinks import DebugFilter, DebugSink, FileSink, NullSink, PduFileSink, VectorSink
 from .elementwise import (
     Add,
     AddConst,
@@ -28,6 +28,7 @@ from .elementwise import (
     Inspect,
     Map,
     MultiplyConst,
+    PduMap,
     Tee,
     Xor,
     XorConst,

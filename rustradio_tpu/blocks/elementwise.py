@@ -121,3 +121,26 @@ class ComplexToMag2(Block):
 class BinarySlicer(Block):
     def apply(self, x):
         return ops.binary_slicer(x)
+
+
+class PduMap(Block):
+    """PDU lambda block, one PDU in -> zero-or-more PDUs out
+    (reference src/convert.rs NCMap :202)."""
+
+    domain = "host"
+
+    def __init__(self, fn, name: str = "PduMap"):
+        self.fn = fn
+        self._name = name
+
+    def name(self):
+        return self._name
+
+    def apply(self, pdus):
+        out = []
+        for p in pdus:
+            r = self.fn(p)
+            if r is None:
+                continue
+            out.extend(r if isinstance(r, (list, tuple)) else [r])
+        return out

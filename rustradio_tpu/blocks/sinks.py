@@ -82,3 +82,43 @@ class FileSink(Block):
         rawfile.write_samples(self.path, np.asarray(x), mode=m)
         self._first = False
         return ()
+
+
+class DebugFilter(Block):
+    """Pass-through that prints samples (reference src/debug_sink.rs
+    DebugFilter): DebugSink in the middle of a chain."""
+
+    domain = "host"
+
+    def __init__(self, limit: int = 32, tag: str = "debug"):
+        self.limit = limit
+        self.tag = tag
+
+    def apply(self, x):
+        arr = np.asarray(x)
+        for v in arr[: self.limit]:
+            print(f"{self.tag}: {v}")
+        if len(arr) > self.limit:
+            print(f"{self.tag}: ... {len(arr) - self.limit} more")
+        return x
+
+
+class PduFileSink(Block):
+    """Append every PDU's bytes to one file (reference src/file_sink.rs
+    NoCopyFileSink :207)."""
+
+    n_out = 0
+    domain = "host"
+
+    def __init__(self, path: str, mode: str = "overwrite"):
+        modes = {"create": "xb", "overwrite": "wb", "append": "ab"}
+        self._f = open(path, modes[mode])
+
+    def apply(self, pdus):
+        for p in pdus:
+            self._f.write(np.asarray(p.data, np.uint8).tobytes())
+        self._f.flush()
+        return ()
+
+    def finish(self):
+        self._f.close()

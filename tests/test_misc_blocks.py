@@ -89,3 +89,27 @@ def test_hundred_frame_stress():
     pkts = ax25_1200_rx(audio, fs)
     got = [bytes(p) for p in pkts]
     assert got == payloads
+
+
+def test_pdu_map_and_pdu_file_sink(tmp_path):
+    path = str(tmp_path / "pdus.bin")
+    pdus = [Pdu(np.frombuffer(b"one", np.uint8), []),
+            Pdu(np.frombuffer(b"twotwo", np.uint8), [])]
+    # 1 -> many mapping: split each PDU into 2-byte PDUs (NCMap semantics)
+    pm = blocks.PduMap(
+        lambda p: [Pdu(p.data[i : i + 2], p.tags) for i in range(0, len(p.data), 2)]
+    )
+    out = pm.apply(pdus)
+    assert [bytes(p.data) for p in out] == [b"on", b"e", b"tw", b"ot", b"wo"]
+    sink = blocks.PduFileSink(path)
+    sink.apply(out)
+    sink.finish()
+    assert open(path, "rb").read() == b"onetwotwo"
+
+
+def test_debug_filter_passthrough(capsys):
+    x = np.asarray([1.0, 2.0], np.float32)
+    y = blocks.DebugFilter(limit=1).apply(x)
+    np.testing.assert_array_equal(np.asarray(y), x)
+    out = capsys.readouterr().out
+    assert "debug: 1.0" in out and "1 more" in out
