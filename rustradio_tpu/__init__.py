@@ -29,9 +29,18 @@ def _enable_compilation_cache() -> None:
     with RUSTRADIO_TPU_NO_CACHE=1."""
     if _os.environ.get("RUSTRADIO_TPU_NO_CACHE"):
         return
+    # CPU AOT results are machine-feature-specific; caching them across
+    # hosts risks SIGILL.  The cache is for the TPU paths — skip when CPU
+    # was selected via env OR via jax.config (this image's sitecustomize
+    # ignores the env var, so scripts use jax.config per CLAUDE.md).
     if "cpu" in _os.environ.get("JAX_PLATFORMS", ""):
-        # CPU AOT results are machine-feature-specific; caching them
-        # across hosts risks SIGILL.  The cache is for the TPU paths.
+        return
+    try:
+        import jax
+
+        if "cpu" in (jax.config.jax_platforms or ""):
+            return
+    except Exception:
         return
     try:
         import jax

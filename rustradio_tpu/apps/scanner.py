@@ -33,6 +33,11 @@ def main(argv=None) -> int:
     p.add_argument("--demod", type=int, help="FM-demod this channel index")
     p.add_argument("-o", "--out", help="write demodulated channel audio (.f32)")
     opt = p.parse_args(argv)
+    if opt.demod is not None:
+        if not 0 <= opt.demod < opt.channels:
+            p.error(f"--demod must be in [0, {opt.channels})")
+        if not opt.out:
+            p.error("--demod requires --out")
 
     iq = rawfile.read_samples(opt.read, "c32")
     M = opt.channels
@@ -43,13 +48,9 @@ def main(argv=None) -> int:
     def scan(x):
         ch = pfb_channelize(x, taps, M)  # (frames, M)
         power = jnp.mean(jnp.real(ch) ** 2 + jnp.imag(ch) ** 2, axis=0)
-        d = jnp.conj(ch[:-1]) * ch[1:]
-        demod = jnp.arctan2(
-            jnp.imag(d).astype(jnp.float32), jnp.real(d).astype(jnp.float32)
-        )
-        return power, demod
+        return power, ch
 
-    power, demod = scan(stage_iq(iq))
+    power, ch = scan(stage_iq(iq))
     power = np.asarray(power)
     order = np.argsort(power)[::-1][: opt.top]
     print(f"{'chan':>5} {'freq':>12} {'power dB':>9}")
@@ -59,11 +60,19 @@ def main(argv=None) -> int:
         print(f"{k:5d} {f/1e3:10.1f}k {10*np.log10(power[k]+1e-20):9.1f}")
 
     if opt.demod is not None:
-        audio = np.asarray(demod[:, opt.demod])
-        if opt.out:
-            rawfile.write_samples(opt.out, audio, "f32")
-            print(f"wrote {len(audio)} samples (channel {opt.demod}, "
-                  f"{fs/M/1e3:.1f} ksps) to {opt.out}", file=sys.stderr)
+        # demodulate just the requested channel column
+        @jax.jit
+        def one(chh):
+            col = chh[:, opt.demod]
+            d = jnp.conj(col[:-1]) * col[1:]
+            return jnp.arctan2(
+                jnp.imag(d).astype(jnp.float32), jnp.real(d).astype(jnp.float32)
+            )
+
+        audio = np.asarray(one(ch))
+        rawfile.write_samples(opt.out, audio, "f32")
+        print(f"wrote {len(audio)} samples (channel {opt.demod}, "
+              f"{fs/M/1e3:.1f} ksps) to {opt.out}", file=sys.stderr)
     return 0
 
 

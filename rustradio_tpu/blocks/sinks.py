@@ -47,6 +47,14 @@ class NullSink(Block):
         return ()
 
 
+def _debug_print(x, limit: int, tag: str) -> None:
+    arr = np.asarray(x)
+    for v in arr[:limit]:
+        print(f"{tag}: {v}")
+    if len(arr) > limit:
+        print(f"{tag}: ... {len(arr) - limit} more")
+
+
 class DebugSink(Block):
     """Prints samples (reference src/debug_sink.rs)."""
 
@@ -57,11 +65,7 @@ class DebugSink(Block):
         self.limit = limit
 
     def apply(self, x):
-        arr = np.asarray(x)
-        for v in arr[: self.limit]:
-            print(f"debug: {v}")
-        if len(arr) > self.limit:
-            print(f"debug: ... {len(arr) - self.limit} more")
+        _debug_print(x, self.limit, "debug")
         return ()
 
 
@@ -95,11 +99,7 @@ class DebugFilter(Block):
         self.tag = tag
 
     def apply(self, x):
-        arr = np.asarray(x)
-        for v in arr[: self.limit]:
-            print(f"{self.tag}: {v}")
-        if len(arr) > self.limit:
-            print(f"{self.tag}: ... {len(arr) - self.limit} more")
+        _debug_print(x, self.limit, self.tag)
         return x
 
 
