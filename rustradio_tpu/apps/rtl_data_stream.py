@@ -32,14 +32,24 @@ def downsample_u8(raw_u8: np.ndarray, sample_rate: float, downsample_rate: float
     """RTL u8 IQ -> low-pass -> resample -> re-encode as RTL u8 IQ.
 
     Mirrors the reference chain RtlSdrDecode -> FftFilter -> RationalResampler
-    -> RtlSdrEncode (examples/rtl_data_stream.rs graph body)."""
+    -> RtlSdrEncode (examples/rtl_data_stream.rs graph body).  Complex math
+    runs under jit with staged/pair-read I/O (TPU transports)."""
+    import functools
+
+    import jax
+
+    from ..dtypes import read_iq, stage_iq
+
     iq = rawfile.rtlsdr_decode(np.asarray(raw_u8, np.uint8))
-    lp = tapgen.low_pass_complex(
-        sample_rate, downsample_rate / 2.0, downsample_rate / 10.0, "hamming"
-    )
-    x = ops.fft_filter(jnp.asarray(iq, jnp.complex64), lp)
-    x = ops.rational_resampler(x, int(downsample_rate), int(sample_rate))
-    return rawfile.rtlsdr_encode(np.asarray(x)).tobytes()
+
+    @functools.partial(jax.jit, static_argnames=("sr", "dr"))
+    def chain(x, sr, dr):
+        lp = tapgen.low_pass_complex(sr, dr / 2.0, dr / 10.0, "hamming")
+        y = ops.fft_filter(x, lp)
+        return ops.rational_resampler(y, int(dr), int(sr))
+
+    x = chain(stage_iq(iq), float(sample_rate), float(downsample_rate))
+    return rawfile.rtlsdr_encode(read_iq(x)).tobytes()
 
 
 def control_reader(stdin, requests: "queue.Queue"):

@@ -37,12 +37,25 @@ def main(argv=None) -> int:
     else:
         iq = rawfile.read_samples(opt.read, "c32")
 
+    import functools
+
+    import jax
+
+    from ..dtypes import stage_iq
+
     fs = float(opt.sample_rate)
-    lp = tapgen.low_pass_complex(fs, float(opt.cutoff), float(opt.cutoff) / 2, "hamming")
-    x = ops.fft_filter(iq, lp)
-    gain = fs / (2 * np.pi * float(opt.deviation))
-    demod = ops.quadrature_demod(x, gain)
-    audio = ops.rational_resampler(demod, int(opt.audio_rate), int(fs))
+
+    # complex math under jit; host complex staged as f32 pairs (TPU
+    # transports)
+    @functools.partial(jax.jit, static_argnames=("sr", "ar", "cutoff", "dev"))
+    def chain(x, sr, ar, cutoff, dev):
+        lp = tapgen.low_pass_complex(sr, cutoff, cutoff / 2, "hamming")
+        y = ops.fft_filter(x, lp)
+        demod = ops.quadrature_demod(y, sr / (2 * np.pi * dev))
+        return ops.rational_resampler(demod, int(ar), int(sr))
+
+    audio = chain(stage_iq(iq), fs, float(opt.audio_rate),
+                  float(opt.cutoff), float(opt.deviation))
     audio = np.asarray(audio) * opt.volume
     with open(opt.out, "wb") as f:
         f.write(au.au_encode(np.clip(audio, -1, 1), int(opt.audio_rate)))
