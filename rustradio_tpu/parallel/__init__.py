@@ -9,6 +9,7 @@ via ``ppermute`` riding ICI.
 """
 
 from .mesh import init_distributed, make_mesh, make_mesh_2d, time_axis_spec
+from .pipeline import pipeline_chain, pipeline_run
 from .halo import halo_exchange_left, halo_exchange_right
 from .sharded import (
     sharded_fft_filter,
@@ -30,6 +31,8 @@ __all__ = [
     "halo_exchange_right",
     "init_distributed",
     "make_mesh",
+    "pipeline_chain",
+    "pipeline_run",
     "make_mesh_2d",
     "pfb_channelize",
     "sharded_channelizer_fm",

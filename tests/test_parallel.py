@@ -86,3 +86,26 @@ def test_sharded_fm_demod_under_jit(mesh):
 def test_rejects_misaligned_length(mesh):
     with pytest.raises(ValueError, match="not divisible"):
         sharded_fir_filter(jnp.ones(100, jnp.complex64), np.ones(3), mesh, deci=4)
+
+
+def test_pipeline_stages_match_composition():
+    import jax.numpy as jnp
+
+    from rustradio_tpu.parallel import make_mesh, pipeline_chain, pipeline_run
+
+    mesh = make_mesh(4, axis="stage")
+    stages = [
+        lambda v: v * jnp.float32(2.0),
+        lambda v: v + jnp.float32(1.0),
+        lambda v: jnp.tanh(v),
+        lambda v: v - jnp.float32(0.25),
+    ]
+    rng = np.random.RandomState(0)
+    chunks = rng.randn(7, 256).astype(np.float32)
+    got = np.asarray(pipeline_run(stages, chunks, mesh))
+    want = np.tanh(chunks * 2.0 + 1.0) - 0.25
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    x = rng.randn(1024).astype(np.float32)
+    got2 = np.asarray(pipeline_chain(stages, x, mesh, chunk_len=256))
+    np.testing.assert_allclose(got2, np.tanh(x * 2.0 + 1.0) - 0.25, atol=1e-6)
