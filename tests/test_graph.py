@@ -370,3 +370,30 @@ def test_fused_segment_streaming_matches_offline():
     # chunked overlap-save picks a different fft_size than offline, so
     # roundoff differs slightly near block boundaries
     np.testing.assert_allclose(s2.data(), s1.data(), atol=1e-3)
+
+
+def test_fused_segment_with_tee_fanout():
+    # A Tee and both its consumers inside ONE fused segment (two external
+    # outputs from the composite program).
+    from rustradio_tpu import taps as tg
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(4096).astype(np.float32)
+    taps = tg.low_pass(8000.0, 1000.0, 500.0, "hamming")
+    g = Graph()
+    src = g.add(blocks.VectorSource(x))
+    fir = g.add(blocks.FirFilter(taps), src)
+    tee = g.add(blocks.Tee(), fir)
+    a = g.add(blocks.AddConst(1.0), tee[0])
+    m = g.add(blocks.MultiplyConst(2.0), tee[1])
+    s1, s2 = blocks.VectorSink(), blocks.VectorSink()
+    g.add(s1, a)
+    g.add(s2, m)
+    segs = g._segments()
+    assert any(len(s) >= 4 for s in segs.values())
+    g.run()
+    from rustradio_tpu import ops
+
+    want = np.asarray(ops.fir_filter(x, taps))
+    np.testing.assert_allclose(s1.data(), want + 1.0, atol=1e-5)
+    np.testing.assert_allclose(s2.data(), want * 2.0, atol=1e-5)
