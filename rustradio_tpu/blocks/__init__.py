@@ -16,7 +16,15 @@ from .sources import (
     SignalSourceFloat,
     VectorSource,
 )
-from .sinks import DebugFilter, DebugSink, FileSink, NullSink, PduFileSink, VectorSink
+from .sinks import (
+    DebugFilter,
+    DebugSink,
+    FileSink,
+    NullSink,
+    PduFileSink,
+    PduVectorSink,
+    VectorSink,
+)
 from .elementwise import (
     Add,
     AddConst,
@@ -65,6 +73,7 @@ from .packets import (
     Hasher,
     KissDecode,
     KissEncode,
+    KissFrame,
     Midpointer,
     MorseEncode,
     PduToStream,

@@ -175,25 +175,55 @@ class Strobe(SourceBlock):
 
 
 class ReaderSource(SourceBlock):
-    """Any readable byte object -> u8 stream (reference src/reader_source.rs)."""
+    """Any readable byte object -> u8 stream (reference src/reader_source.rs).
+
+    Streams via a background thread + bounded queue, like the reference's
+    thread + mpsc channel (src/reader_source.rs:24-47) — the reader is
+    never slurped whole, and memory is bounded by the queue depth.
+    ``n=None`` makes the source unbounded (use ``max_chunks`` or Head);
+    the stream ends early at reader EOF via ``exhausted()``.
+    """
 
     domain = "host"
 
-    def __init__(self, reader, n: int | None = None):
+    def __init__(self, reader, n: int | None = None, read_size: int = 65536,
+                 queue_depth: int = 4):
+        import queue
+        import threading
+
         self.reader = reader
         self.n = n
-        self._data = None
+        self._q: queue.Queue = queue.Queue(maxsize=queue_depth)
+        self._buf = bytearray()
+        self._eof = False
 
-    def _load(self):
-        if self._data is None:
-            self._data = np.frombuffer(self.reader.read(), np.uint8)
-        return self._data
+        def pump():
+            while True:
+                data = reader.read(read_size)
+                self._q.put(data)
+                if not data:
+                    return
+
+        self._thread = threading.Thread(target=pump, daemon=True)
+        self._thread.start()
 
     def total_len(self):
-        return self.n if self.n is not None else len(self._load())
+        return self.n
+
+    def exhausted(self) -> bool:
+        return self._eof and not self._buf
 
     def emit(self, offset, n):
-        return jnp.asarray(self._load()[offset : offset + n])
+        while len(self._buf) < n and not self._eof:
+            data = self._q.get()
+            if not data:
+                self._eof = True
+                break
+            self._buf.extend(data)
+        take = min(n, len(self._buf))
+        out = np.frombuffer(bytes(self._buf[:take]), np.uint8)
+        del self._buf[:take]
+        return jnp.asarray(out)
 
 
 class WriterSink(Block):
@@ -212,14 +242,21 @@ class WriterSink(Block):
 
 class TcpSource(SourceBlock):
     """TCP client source (reference src/tcp_source.rs): connects and
-    streams bytes.  Bounded by ``max_bytes`` per run."""
+    streams bytes.
+
+    Memory is bounded: received bytes are dropped once consumed (the
+    graph reads sequentially).  ``max_bytes=None`` streams until the peer
+    closes (use ``max_chunks``); the stream ends early via ``exhausted()``.
+    """
 
     domain = "host"
 
-    def __init__(self, host: str, port: int, max_bytes: int):
+    def __init__(self, host: str, port: int, max_bytes: int | None = None):
         self.host, self.port, self.max_bytes = host, port, max_bytes
         self._sock = None
-        self._got = b""
+        self._buf = bytearray()
+        self._base = 0  # stream offset of _buf[0]
+        self._eof = False
 
     def _connect(self):
         if self._sock is None:
@@ -231,11 +268,25 @@ class TcpSource(SourceBlock):
     def total_len(self):
         return self.max_bytes
 
+    def exhausted(self) -> bool:
+        return self._eof and not self._buf
+
     def emit(self, offset, n):
+        if offset < self._base:
+            raise ValueError("TcpSource is sequential; cannot re-read old bytes")
         s = self._connect()
-        while len(self._got) < offset + n:
-            chunk = s.recv(min(65536, offset + n - len(self._got)))
+        need = offset + n - (self._base + len(self._buf))
+        while need > 0 and not self._eof:
+            chunk = s.recv(min(65536, need))
             if not chunk:
+                self._eof = True
                 break
-            self._got += chunk
-        return jnp.asarray(np.frombuffer(self._got[offset : offset + n], np.uint8))
+            self._buf.extend(chunk)
+            need -= len(chunk)
+        lo = offset - self._base
+        hi = min(lo + n, len(self._buf))
+        out = np.frombuffer(bytes(self._buf[lo:hi]), np.uint8)
+        # drop consumed bytes: memory stays bounded on long-running feeds
+        del self._buf[:hi]
+        self._base += hi
+        return jnp.asarray(out)

@@ -116,17 +116,40 @@ class BurstTagger(Block):
 
 
 class StreamToPdu(Block):
-    """Tagged stream -> burst PDUs (reference src/stream_to_pdu.rs)."""
+    """Tagged stream -> burst PDUs (reference src/stream_to_pdu.rs).
+
+    Carries the reference's Unsync/Packet/Tail state machine
+    (src/stream_to_pdu.rs:10-26) across streaming chunks, so a burst that
+    spans two ``run_stream`` chunks still becomes one PDU.  Non-burst tags
+    inside a burst are attached to the PDU with burst-relative positions
+    (src/stream_to_pdu.rs:176-195 ``tags_pos_adjust``).
+    """
 
     domain = "host"
 
+    UNSYNC, PACKET, TAIL = 0, 1, 2
+
     def __init__(self, tag: str = "burst", max_size: int = 10_000, tail: int = 0):
         self.tag, self.max_size, self.tail = tag, max_size, tail
+        self._pdus_out: list[Pdu] = []
 
-    def apply(self, x):
-        # Tags are delivered via set_tags() by the graph before apply.
+    # ---- state machine ----
+    def init_state(self):
+        return {"mode": self.UNSYNC, "buf": None, "tail_left": 0, "tags": []}
+
+    def _other_tags(self, tags, lo, hi, base):
+        """Tags (excluding the burst tag) in [lo, hi), re-based to the
+        burst-relative position ``base + (pos - lo)``."""
+        return [
+            Tag(base + (t.pos - lo), t.key, t.val)
+            for t in tags
+            if t.key != self.tag and lo <= t.pos < hi
+        ]
+
+    def apply_chunk(self, state, x):
+        x = np.asarray(x)
+        n = len(x)
         tags = getattr(self, "_in_tags", [])
-        n = len(np.asarray(x))
         start = np.zeros(n, bool)
         end = np.zeros(n, bool)
         for t in tags:
@@ -135,8 +158,92 @@ class StreamToPdu(Block):
                     start[t.pos] = True
                 else:
                     end[t.pos] = True
-        segs = ops.stream_to_pdu(np.asarray(x), start, end, self.max_size, self.tail)
-        return [Pdu(s) for s in segs]
+
+        mode = state["mode"]
+        buf = state["buf"]
+        tail_left = state["tail_left"]
+        btags = list(state["tags"])
+        pdus: list[Pdu] = []
+
+        def file_burst(b, bt):
+            # reference file_burst drops oversized bursts
+            # (src/stream_to_pdu.rs:111-124)
+            if len(b) <= self.max_size:
+                pdus.append(Pdu(b, bt))
+
+        def grow(b, lo, hi):
+            seg = x[lo:hi]
+            nonlocal btags
+            btags = btags + self._other_tags(tags, lo, hi, len(b))
+            return seg.copy() if b is None or len(b) == 0 else np.concatenate([b, seg])
+
+        i = 0
+        while i < n:
+            if mode == self.TAIL:
+                # Burst tags are ignored while collecting the tail
+                # (src/stream_to_pdu.rs:246-260).
+                k = min(tail_left, n - i)
+                buf = grow(buf, i, i + k)
+                tail_left -= k
+                i += k
+                if tail_left == 0:
+                    file_burst(buf, btags)
+                    mode, buf, btags = self.UNSYNC, None, []
+                continue
+            if mode == self.UNSYNC:
+                nexts = np.flatnonzero(start[i:])
+                if nexts.size == 0:
+                    i = n
+                    break
+                s = i + int(nexts[0])
+                if end[s]:  # Both on one sample (src/stream_to_pdu.rs:209-221)
+                    if self.tail > 0:
+                        buf = grow(None, s, s + 1)
+                        tail_left = self.tail - 1
+                        mode = self.TAIL if tail_left else self.UNSYNC
+                        if tail_left == 0:
+                            file_burst(buf, btags)
+                            buf, btags = None, []
+                    else:
+                        file_burst(x[:0], [])
+                    i = s + 1
+                    continue
+                mode, buf, btags = self.PACKET, x[:0].copy(), []
+                i = s
+                # fall through into PACKET handling from the start sample
+            # PACKET: accumulate until the end tag; Start tags inside a
+            # packet are ignored (src/stream_to_pdu.rs:222-227).
+            nexts = np.flatnonzero(end[i:])
+            if nexts.size == 0:
+                buf = grow(buf, i, n)
+                i = n
+                break
+            e = i + int(nexts[0])
+            buf = grow(buf, i, e)
+            if self.tail > 0:
+                # the end-tagged sample is the first tail sample
+                # (src/stream_to_pdu.rs:229-245)
+                k = min(self.tail, n - e)
+                buf = grow(buf, e, e + k)
+                if k == self.tail:
+                    file_burst(buf, btags)
+                    mode, buf, btags = self.UNSYNC, None, []
+                else:
+                    mode, tail_left = self.TAIL, self.tail - k
+                i = e + k
+            else:
+                file_burst(buf, btags)
+                mode, buf, btags = self.UNSYNC, None, []
+                i = e + 1
+
+        return {"mode": mode, "buf": buf, "tail_left": tail_left, "tags": btags}, pdus
+
+    def apply(self, x):
+        # Offline mode runs the same machine over the whole stream; an
+        # unterminated burst at EOF is dropped (the reference would keep
+        # waiting for more input).
+        _, pdus = self.apply_chunk(self.init_state(), x)
+        return pdus
 
     def set_tags(self, tags):
         self._in_tags = tags
@@ -296,6 +403,55 @@ class KissEncode(Block):
         return out
 
 
+class KissFrame(Block):
+    """Byte stream -> still-KISS-encoded frame PDUs
+    (reference src/kiss.rs:160-229 KissFrame).
+
+    Accumulates bytes between FEND delimiters across arbitrary chunk
+    boundaries (Unsynced/Synced carried state); consecutive FENDs emit
+    nothing; frames longer than ``max_len`` are dropped.  Normally
+    followed by :class:`KissDecode`.
+    """
+
+    domain = "host"
+
+    def __init__(self, max_len: int = 10_000):
+        self.max_len = max_len
+
+    def init_state(self):
+        return {"synced": False, "buf": b""}
+
+    def apply_chunk(self, state, x):
+        data = np.asarray(x, np.uint8).tobytes()
+        synced, buf = state["synced"], state["buf"]
+        out: list[Pdu] = []
+        i = 0
+        if not synced:
+            j = data.find(b"\xc0")
+            if j < 0:
+                return {"synced": False, "buf": b""}, out
+            synced, i = True, j + 1
+        while True:
+            j = data.find(b"\xc0", i)
+            if j < 0:
+                buf += data[i:]
+                # an oversized open frame will be dropped at the closing
+                # FEND anyway (src/kiss.rs:211-217); bound the memory now
+                if len(buf) > self.max_len:
+                    buf = buf[: self.max_len + 1]
+                break
+            frame = buf + data[i:j]
+            buf = b""
+            i = j + 1
+            if frame and len(frame) <= self.max_len:
+                out.append(Pdu(np.frombuffer(frame, np.uint8)))
+        return {"synced": synced, "buf": buf}, out
+
+    def apply(self, x):
+        _, out = self.apply_chunk(self.init_state(), x)
+        return out
+
+
 class KissDecode(Block):
     """KISS frame -> packet PDU (reference src/kiss.rs unescape())."""
 
@@ -334,7 +490,16 @@ class KissDecode(Block):
             if bad or esc:
                 continue
             out.append(
-                Pdu(np.asarray(un, np.uint8), p.tags + [Tag(0, "KissDecode:port", port >> 4)])
+                Pdu(
+                    np.asarray(un, np.uint8),
+                    p.tags
+                    + [
+                        Tag(0, "KissDecode:port", port >> 4),
+                        # parity with reference src/kiss.rs:120-133
+                        Tag(0, "KissDecode:input-bytes", len(body)),
+                        Tag(0, "KissDecode:output-bytes", len(un)),
+                    ],
+                )
             )
         return out
 
@@ -386,16 +551,28 @@ class MorseEncode(Block):
 
 
 class Hasher(Block):
-    """SHA-512 of the whole stream -> one PDU (reference src/hasher.rs)."""
+    """SHA-512 of the whole stream -> ONE PDU at end of stream
+    (reference src/hasher.rs: the digest is pushed on EOF/Drop, :41-49).
+
+    ``apply``/``apply_chunk`` only accumulate; the single digest PDU is
+    emitted by ``flush()`` during the graph's end-of-stream drain pass.
+    """
 
     domain = "host"
     n_out = 1
 
     def __init__(self, kind: str = "sha512"):
         self._h = hashlib.new(kind)
+        self._done = False
 
     def apply(self, x):
         self._h.update(np.asarray(x, np.uint8).tobytes())
+        return []
+
+    def flush(self):
+        if self._done:  # idempotent, like the reference's `done` guard
+            return None
+        self._done = True
         return [Pdu(np.frombuffer(self._h.digest(), np.uint8))]
 
     def hexdigest(self) -> str:

@@ -62,23 +62,78 @@ class RationalResampler(Block):
 
 
 class Delay(Block):
-    """Zero-filled delay (reference src/delay.rs)."""
+    """Zero-filled delay with runtime ``set_delay`` (reference src/delay.rs).
+
+    Emits ``delay`` zeros, then the input stream.  ``set_delay`` may be
+    called mid-stream (e.g. from a control thread): increasing the delay
+    inserts more zeros before the next chunk's samples; decreasing it skips
+    input samples until the stream has caught up — the reference's
+    ``current_delay``/``skip`` arithmetic (src/delay.rs:42-53, 58-105).
+    Output length therefore varies per chunk, so the block runs unfused.
+    """
+
+    jit_chunk = False
+    domain = "host"
 
     def __init__(self, n: int):
-        self.n = n
+        if n < 0:
+            raise ValueError("delay must be >= 0")
+        self.delay = n
+        self._pending: list[int] = []
+        self._zeros_this = 0
+        self._skip_this = 0
 
-    def apply(self, x):
-        return ops.delay(x, self.n)
+    def set_delay(self, n: int) -> None:
+        """Queue a delay change; takes effect at the next chunk."""
+        if n < 0:
+            raise ValueError("delay must be >= 0")
+        self._pending.append(n)
 
     def init_state(self):
-        return None  # lazily typed tail
+        return {"current": self.delay, "skip": 0}
+
+    def _drain_pending(self, current: int, skip: int):
+        for d in self._pending:
+            if d > self.delay:
+                current += d - self.delay
+            else:
+                reduce = self.delay - d
+                c = min(current, reduce)
+                current -= c
+                skip += reduce - c
+            self.delay = d
+        self._pending.clear()
+        return current, skip
 
     def apply_chunk(self, state, x):
-        x = jnp.asarray(x)
-        if state is None:
-            state = jnp.zeros(self.n, x.dtype)
-        ext = jnp.concatenate([state, x])
-        return ext[x.shape[0] :], ext[: x.shape[0]]
+        current, skip = self._drain_pending(state["current"], state["skip"])
+        x = np.asarray(x)
+        k = min(skip, len(x))
+        body = x[k:]
+        self._zeros_this, self._skip_this = current, k
+        out = np.concatenate([np.zeros(current, x.dtype), body])
+        return {"current": 0, "skip": skip - k}, jnp.asarray(out)
+
+    def apply(self, x):
+        _, out = self.apply_chunk(self.init_state(), x)
+        return out
+
+    def process_tags(self, in_tags, out_lens):
+        # input tags ride their samples, shifted by the zeros emitted ahead
+        # of them this chunk (the zero-fill region carries no tags,
+        # src/delay.rs:96-101)
+        from ..streams import Tag
+
+        src = in_tags[0] if in_tags else []
+        shift, k = self._zeros_this, self._skip_this
+        return [
+            [
+                Tag(t.pos - k + shift, t.key, t.val)
+                for t in src
+                if t.pos >= k and t.pos - k + shift < n
+            ]
+            for n in out_lens
+        ]
 
 
 class Skip(Block):

@@ -103,6 +103,24 @@ class DebugFilter(Block):
         return x
 
 
+class PduVectorSink(Block):
+    """Collects PDUs; the PDU-domain test sink (reference uses
+    NCReadStream::pop loops in tests, e.g. src/hasher.rs:80-85)."""
+
+    n_out = 0
+    domain = "host"
+
+    def __init__(self):
+        self._pdus = []
+
+    def apply(self, pdus):
+        self._pdus.extend(pdus)
+        return ()
+
+    def pdus(self):
+        return list(self._pdus)
+
+
 class PduFileSink(Block):
     """Append every PDU's bytes to one file (reference src/file_sink.rs
     NoCopyFileSink :207)."""

@@ -118,23 +118,46 @@ class NoiseSource(SourceBlock):
 
 
 class FileSource(SourceBlock):
-    """Raw sample file source (reference src/file_source.rs)."""
+    """Raw sample file source (reference src/file_source.rs).
+
+    Streams incrementally: ``emit`` seeks and reads only the requested
+    sample window (the reference reads chunk-by-chunk with a partial-sample
+    carry, src/file_source.rs:44-90; seeking at sample granularity makes
+    the carry unnecessary here), so files larger than RAM stream fine.
+    """
 
     domain = "host"
 
     def __init__(self, path: str, dtype="c32", repeat: int = 1):
         self.path, self.dtype, self.repeat = path, dtype, repeat
-        self._data = None
+        self._dt = rawfile._resolve(dtype).newbyteorder("<")
+        self._f = None
+        self._file_samples = None
 
-    def _load(self):
-        if self._data is None:
-            self._data = rawfile.read_samples(self.path, self.dtype)
-        return self._data
+    def _open(self):
+        if self._f is None:
+            import os
+
+            self._f = open(self.path, "rb")
+            self._file_samples = os.path.getsize(self.path) // self._dt.itemsize
+            if self._file_samples == 0:
+                raise ValueError(f"{self.path}: no complete samples")
+        return self._f
 
     def total_len(self):
-        return len(self._load()) * self.repeat
+        self._open()
+        return self._file_samples * self.repeat
 
     def emit(self, offset, n):
-        d = self._load()
-        idx = np.arange(offset, offset + n) % len(d)
-        return d[idx]
+        f = self._open()
+        m = self._file_samples
+        out = np.empty(n, self._dt)
+        got = 0
+        while got < n:
+            pos = (offset + got) % m
+            k = min(n - got, m - pos)
+            f.seek(pos * self._dt.itemsize)
+            buf = f.read(k * self._dt.itemsize)
+            out[got : got + k] = np.frombuffer(buf, dtype=self._dt, count=k)
+            got += k
+        return out

@@ -294,6 +294,64 @@ class Graph:
                 tags[(n.idx, i)] = ot
         return new_states
 
+    @staticmethod
+    def _cat_outputs(a, b):
+        """Concatenate two outputs of the same port (flush drain)."""
+        if a is None:
+            return b
+        if b is None:
+            return a
+        if isinstance(a, list) or isinstance(b, list):
+            return list(a) + list(b)
+        return np.concatenate([np.asarray(a), np.asarray(b)])
+
+    def _flush_pass(self, states=None) -> None:
+        """End-of-stream drain pass, run once after the main loop.
+
+        Blocks exposing ``flush()`` emit their final outputs here — the
+        static-schedule equivalent of reference blocks that push on EOF or
+        in Drop (e.g. src/hasher.rs:41-49 finalizes the digest when the
+        input closes).  Flush outputs propagate through downstream blocks
+        (apply in offline mode, apply_chunk with the carried state in
+        streaming mode) so sinks see them before ``finish()``.
+
+        Only nodes that flushed, or whose inputs all produced drain values,
+        run; multi-input nodes with partially-available inputs are skipped.
+        """
+        values: dict[tuple[int, int], Any] = {}
+        tags: dict[tuple[int, int], list[Tag]] = {}
+        for node in self._topo():
+            b = node.block
+            keys = [(p.node.idx, p.index) for p in node.inputs]
+            in_tags = [tags.get(k, []) for k in keys]
+            out = None
+            if node.inputs and all(k in values for k in keys):
+                xs = [_stage_for(b.domain, values[k]) for k in keys]
+                if hasattr(b, "set_tags"):
+                    b.set_tags(in_tags[0])
+                if states is None:
+                    out = b.apply(*xs)
+                else:
+                    states[node.idx], out = b.apply_chunk(states[node.idx], *xs)
+                if b.n_out == 0:
+                    if hasattr(b, "accept_tags"):
+                        b.accept_tags(in_tags[0], 0)
+                    out = None
+            fout = b.flush() if hasattr(b, "flush") else None
+            if out is None and fout is None:
+                continue
+            outs = out if isinstance(out, tuple) else ((out,) if out is not None else (None,) * max(b.n_out, 1))
+            fouts = fout if isinstance(fout, tuple) else ((fout,) if fout is not None else (None,) * max(b.n_out, 1))
+            merged = tuple(self._cat_outputs(o, f) for o, f in zip(outs, fouts))
+            if b.n_out == 0:
+                continue
+            out_lens = [len(o) if hasattr(o, "__len__") else 0 for o in merged]
+            otags = b.process_tags(in_tags, out_lens)
+            for i, (o, ot) in enumerate(zip(merged, otags)):
+                if o is not None:
+                    values[(node.idx, i)] = o
+                    tags[(node.idx, i)] = ot
+
     def _topo(self) -> list[Node]:
         # nodes are appended after their inputs, so insertion order is topo
         # as long as users build forward; verify anyway.
@@ -355,6 +413,7 @@ class Graph:
             for i, (o, ot) in enumerate(zip(outs, otags)):
                 values[(node.idx, i)] = o
                 tags[(node.idx, i)] = ot
+        self._flush_pass()
         # notify canaries / finishers
         for node in self.nodes:
             if hasattr(node.block, "finish"):
@@ -413,6 +472,12 @@ class Graph:
         out_offsets: dict[int, int] = {}
         while offset < total and not self._token.is_cancelled():
             if max_chunks is not None and chunk_count >= max_chunks:
+                break
+            # live sources (TCP, readers, SDR drivers) may end before their
+            # nominal bound; ``exhausted()`` ends the stream early
+            if any(
+                getattr(s.block, "exhausted", lambda: False)() for s in sources
+            ):
                 break
             n_chunk = min(chunk_size, total - offset)
             values: dict[tuple[int, int], Any] = {}
@@ -479,6 +544,7 @@ class Graph:
                     checkpoint_path, states, offset,
                     extra={"blocks": [n.block.name() for n in self.nodes]},
                 )
+        self._flush_pass(states)
         for node in self.nodes:
             if hasattr(node.block, "finish"):
                 node.block.finish()

@@ -1,0 +1,102 @@
+"""Dynamic Delay block (reference src/delay.rs tests :108-238)."""
+
+import numpy as np
+
+from rustradio_tpu import blocks
+from rustradio_tpu.graph import Graph
+from rustradio_tpu.streams import Tag
+
+
+def _run(delay_block, data, chunk=None):
+    g = Graph()
+    sink = g.add(blocks.VectorSink(), g.add(delay_block, g.add(blocks.VectorSource(data))))
+    if chunk is None:
+        g.run()
+    else:
+        g.run_stream(chunk_size=chunk)
+    return sink.block
+
+
+def test_delay_zero():
+    s = _run(blocks.Delay(0), np.asarray([1.0, 2.0, 3.0], np.float32))
+    np.testing.assert_array_equal(s.data(), [1.0, 2.0, 3.0])
+
+
+def test_delay_one():
+    s = _run(blocks.Delay(1), np.asarray([1.0, 2.0, 3.0], np.float32))
+    np.testing.assert_array_equal(s.data(), [0.0, 1.0, 2.0, 3.0])
+
+
+def test_delay_increase_before_work_extends_remaining_delay():
+    d = blocks.Delay(1)
+    d.set_delay(2)
+    s = _run(d, np.asarray([1, 2], np.int32))
+    np.testing.assert_array_equal(s.data(), [0, 0, 1, 2])
+
+
+def test_delay_decrease_before_work_reduces_remaining_delay():
+    d = blocks.Delay(3)
+    d.set_delay(1)
+    s = _run(d, np.asarray([1, 2], np.int32))
+    np.testing.assert_array_equal(s.data(), [0, 1, 2])
+
+
+def test_delay_reduced_twice_accumulates_pending_skip():
+    # Two reductions accumulate pending skip (reference
+    # delay_reduced_twice_accumulates_pending_skip).  Unlike the reference,
+    # the static schedule drains ALL pending zeros within a chunk, so after
+    # chunk 1 current_delay == 0 and both reductions land on skip (11 + 1).
+    cap = 64
+    data = np.arange(cap, dtype=np.int32)
+    d = blocks.Delay(cap + 10)
+    state = d.init_state()
+    state, out = d.apply_chunk(state, data[:0])
+    np.testing.assert_array_equal(np.asarray(out), np.zeros(cap + 10, np.int32))
+    d.set_delay(cap - 1)
+    d.set_delay(cap - 2)
+    state, out = d.apply_chunk(state, data)
+    np.testing.assert_array_equal(np.asarray(out), data[12:])
+
+
+def test_delay_mid_stream_decrease_skips_samples():
+    # chunk 1: 4 zeros + data[0:8]; reduce delay 4 -> 1 (skip 3); chunk 2
+    # drops 3 input samples before resuming the copy
+    data = np.arange(16, dtype=np.int32)
+    d = blocks.Delay(4)
+    state = d.init_state()
+    state, out1 = d.apply_chunk(state, data[:8])
+    np.testing.assert_array_equal(
+        np.asarray(out1), np.concatenate([np.zeros(4, np.int32), data[:8]])
+    )
+    d.set_delay(1)
+    state, out2 = d.apply_chunk(state, data[8:])
+    np.testing.assert_array_equal(np.asarray(out2), data[11:])
+
+
+def test_delay_mid_stream_increase_inserts_zeros():
+    data = np.arange(8, dtype=np.int32)
+    d = blocks.Delay(1)
+    state = d.init_state()
+    state, out1 = d.apply_chunk(state, data[:4])
+    np.testing.assert_array_equal(np.asarray(out1), [0, 0, 1, 2, 3])
+    d.set_delay(3)
+    state, out2 = d.apply_chunk(state, data[4:])
+    np.testing.assert_array_equal(np.asarray(out2), [0, 0, 4, 5, 6, 7])
+
+
+def test_delay_shifts_tags():
+    data = np.arange(8, dtype=np.float32)
+    d = blocks.Delay(3)
+    g = Graph()
+    src = g.add(blocks.VectorSource(data, tags=[Tag(2, "mark", 1)]))
+    node = g.add(d, src)
+    sink = g.add(blocks.VectorSink(), node)
+    g.run()
+    assert any(t.key == "mark" and t.pos == 5 for t in sink.block.tags())
+
+
+def test_delay_streaming_equals_offline():
+    data = np.arange(100, dtype=np.float32)
+    s1 = _run(blocks.Delay(7), data)
+    s2 = _run(blocks.Delay(7), data, chunk=13)
+    np.testing.assert_array_equal(s1.data(), s2.data())
