@@ -21,7 +21,8 @@ from .. import ops
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("-r", "--read", required=True)
+    p.add_argument("-r", "--read", required=True,
+                   help="IQ capture file, or 'sim' for the loopback SDR driver")
     p.add_argument("--sample_rate", type=parse_frequency, default=1_024_000.0)
     p.add_argument("--audio_rate", type=parse_frequency, default=48_000.0)
     p.add_argument("--cutoff", type=parse_frequency, default=100_000.0)
@@ -29,9 +30,33 @@ def main(argv=None) -> int:
     p.add_argument("--volume", type=float, default=1.0)
     p.add_argument("--out", required=True, help=".au output file")
     p.add_argument("--rtl_u8", action="store_true", help="input is RTL-SDR u8 IQ")
+    p.add_argument("--frequency", type=parse_frequency, default=100_000_000.0,
+                   help="sim mode: tuner center frequency")
+    p.add_argument("--sim_tone", action="append", default=[],
+                   help="sim mode: FREQ:AMP[:AUDIO:DEV] RF tone (repeatable)")
+    p.add_argument("--seconds", type=float, default=1.0,
+                   help="sim mode: capture length")
     opt = p.parse_args(argv)
 
-    if opt.rtl_u8:
+    if opt.read == "sim":
+        from ..hw import SdrSource, SimDriver
+        from ..hw.driver import parse_sim_tone
+
+        tones = [parse_sim_tone(s) for s in opt.sim_tone] or [
+            (opt.frequency, 0.8, 1_000.0, opt.deviation / 2)
+        ]
+        drv = SimDriver(
+            frequency=float(opt.frequency),
+            sample_rate=float(opt.sample_rate),
+            gain=1.0,
+            tones=[t for t in tones if len(t) == 2],
+            fm_tones=[t for t in tones if len(t) == 4],
+        )
+        src = SdrSource(drv)
+        iq = np.asarray(src.emit(0, int(opt.seconds * opt.sample_rate)))
+        for t in src.emit_tags(0, len(iq)):
+            print(f"tag {t.key} = {t.val}", file=sys.stderr)
+    elif opt.rtl_u8:
         raw = np.fromfile(opt.read, np.uint8)
         iq = rawfile.rtlsdr_decode(raw)
     else:

@@ -26,12 +26,19 @@ from ..parallel.channelizer import channelizer_taps, pfb_channelize
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("-r", "--read", required=True, help="complex64 IQ capture")
+    p.add_argument("-r", "--read", required=True,
+                   help="complex64 IQ capture, or 'sim' for the loopback driver")
     p.add_argument("--sample_rate", type=parse_frequency, required=True)
     p.add_argument("-n", "--channels", type=int, default=256)
     p.add_argument("--top", type=int, default=10, help="channels to report")
     p.add_argument("--demod", type=int, help="FM-demod this channel index")
     p.add_argument("-o", "--out", help="write demodulated channel audio (.f32)")
+    p.add_argument("--frequency", type=parse_frequency, default=100_000_000.0,
+                   help="sim mode: tuner center frequency")
+    p.add_argument("--sim_tone", action="append", default=[],
+                   help="sim mode: FREQ:AMP[:AUDIO:DEV] RF tone (repeatable)")
+    p.add_argument("--seconds", type=float, default=0.5,
+                   help="sim mode: capture length")
     opt = p.parse_args(argv)
     if opt.demod is not None:
         if not 0 <= opt.demod < opt.channels:
@@ -39,7 +46,25 @@ def main(argv=None) -> int:
         if not opt.out:
             p.error("--demod requires --out")
 
-    iq = rawfile.read_samples(opt.read, "c32")
+    if opt.read == "sim":
+        from ..hw import SdrSource, SimDriver
+        from ..hw.driver import parse_sim_tone
+
+        tones = [parse_sim_tone(s) for s in opt.sim_tone] or [
+            (opt.frequency + 0.2e6, 0.5),
+            (opt.frequency - 0.35e6, 0.3),
+        ]
+        drv = SimDriver(
+            frequency=float(opt.frequency),
+            sample_rate=float(opt.sample_rate),
+            gain=1.0,
+            tones=[t for t in tones if len(t) == 2],
+            fm_tones=[t for t in tones if len(t) == 4],
+        )
+        src = SdrSource(drv)
+        iq = np.asarray(src.emit(0, int(opt.seconds * opt.sample_rate)))
+    else:
+        iq = rawfile.read_samples(opt.read, "c32")
     M = opt.channels
     taps = channelizer_taps(M, 8)
     fs = float(opt.sample_rate)
