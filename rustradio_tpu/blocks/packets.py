@@ -272,21 +272,31 @@ class PduToStream(Block):
 
 
 class Midpointer(Block):
-    """Re-center bursts (reference src/wpcr.rs:44-82)."""
+    """Re-center bursts (reference src/wpcr.rs:44-82).
+
+    All PDUs in a chunk run as one batched device call per length bucket
+    (ops.midpoint_batch).
+    """
 
     domain = "host"
 
     def apply(self, pdus):
-        out = []
-        for p in pdus:
-            centered, ok = ops.midpoint(jnp.asarray(p.data, jnp.float32))
-            if bool(np.asarray(ok)):
-                out.append(Pdu(np.asarray(centered), p.tags))
-        return out
+        if not pdus:
+            return []
+        results = ops.midpoint_batch([np.asarray(p.data, np.float32) for p in pdus])
+        return [
+            Pdu(centered, p.tags)
+            for p, (centered, ok) in zip(pdus, results)
+            if ok
+        ]
 
 
 class Wpcr(Block):
-    """Whole-packet clock recovery (reference src/wpcr.rs:105-215)."""
+    """Whole-packet clock recovery (reference src/wpcr.rs:105-215).
+
+    All PDUs in a chunk run as one batched device call per length bucket
+    (ops.wpcr_batch without the midpoint stage — pair with Midpointer).
+    """
 
     domain = "host"
 
@@ -294,21 +304,22 @@ class Wpcr(Block):
         self.samp_rate = samp_rate
 
     def apply(self, pdus):
+        if not pdus:
+            return []
+        results = ops.wpcr_batch(
+            [np.asarray(p.data, np.float32) for p in pdus], midpoint_first=False
+        )
         out = []
-        for p in pdus:
-            if len(np.asarray(p.data)) < 4:
+        for p, (syms, info) in zip(pdus, results):
+            if not info["found"]:
                 continue
-            samples, mask, info = ops.wpcr(jnp.asarray(p.data, jnp.float32))
-            if not bool(np.asarray(info["found"])):
-                continue
-            syms = np.asarray(samples)[np.asarray(mask)]
             tags = [
-                Tag(0, "sps", float(info["sps"])),
-                Tag(0, "phase", float(info["phase"])),
+                Tag(0, "sps", info["sps"]),
+                Tag(0, "phase", info["phase"]),
             ]
             if self.samp_rate is not None:
-                tags.append(Tag(0, "frequency", float(info["sps"]) * self.samp_rate))
-            out.append(Pdu(syms, tags))
+                tags.append(Tag(0, "frequency", info["sps"] * self.samp_rate))
+            out.append(Pdu(syms, p.tags + tags))
         return out
 
 

@@ -260,14 +260,11 @@ def ax25_1200_wpcr_rx(
         np.asarray(nrz)[:n], np.asarray(start), np.asarray(end), int(new_rate), tail
     )
     packets: list[Ax25Packet] = []
-    for burst in bursts:
-        centered, ok = ops.midpoint(jnp.asarray(burst))
-        if not bool(np.asarray(ok)):
+    # batched midpoint+WPCR: one jitted program per length bucket, one
+    # readback for all bursts (vs the eager per-burst dispatch)
+    for syms, info in ops.wpcr_batch(bursts):
+        if not info["found"]:
             continue
-        samples, mask, info = ops.wpcr(centered)
-        if not bool(np.asarray(info["found"])):
-            continue
-        syms = np.asarray(samples)[np.asarray(mask)]
         bits = np.asarray(ops.nrzi_decode(ops.binary_slicer(jnp.asarray(syms))))
         pkts, _ = ops.hdlc_deframe(bits, 10, 1500, fix_bits=fix_bits)
         packets.extend(Ax25Packet(np.asarray(d), int(p)) for d, p in pkts)
@@ -363,14 +360,9 @@ def ax25_9600_wpcr_rx(
         np.asarray(demod), np.asarray(start), np.asarray(end), max_burst, tail
     )
     packets: list[Ax25Packet] = []
-    for burst in bursts:
-        centered, ok = ops.midpoint(jnp.asarray(burst))
-        if not bool(np.asarray(ok)):
+    for syms, info in ops.wpcr_batch(bursts):
+        if not info["found"]:
             continue
-        samples, mask, info = ops.wpcr(centered)
-        if not bool(np.asarray(info["found"])):
-            continue
-        syms = np.asarray(samples)[np.asarray(mask)]
         bits = np.asarray(ops.binary_slicer(jnp.asarray(syms)))
         bits = np.asarray(ops.nrzi_decode(jnp.asarray(bits)))
         bits = np.asarray(ops.descramble(jnp.asarray(bits)))
