@@ -1,0 +1,120 @@
+"""Decode-rate gates at reference scale.
+
+The reference's headline quality gate decodes 906-909 frames from a
+30-minute real capture (tests/ax25-decode.rs:58-103, the WA8LMF TNC test
+CD).  That capture isn't redistributable, so these gates synthesize a
+1000-frame corpus sweeping amplitude (0.05-1.0), clock drift (±1.5%),
+and SNR (noise up to 0.4×amplitude), plus a single-bit-error corpus for
+``fix_bits`` (reference hdlc_deframer.rs repair) and a 200-burst WPCR
+corpus.  Hard count thresholds pin the decode rate in CI; measured
+values on this corpus: discriminator 647/1000, dual-tone 938/1000,
+fix_bits 91/100 vs 38/100 unrepaired, WPCR 124/200.
+"""
+
+import numpy as np
+import pytest
+
+from rustradio_tpu import ops
+from rustradio_tpu.models.ax25 import ax25_1200_rx
+
+FS = 24_000.0
+
+
+def _nrzi_line(bits):
+    # transition-on-0 NRZI line (initial state arbitrary for the decoder)
+    return (1 + np.cumsum(1 - np.asarray(bits))) % 2
+
+
+def _afsk(line, baud, amp, lead=400):
+    sps = FS / baud
+    n = int(len(line) * sps)
+    bit_at = np.minimum((np.arange(n) / sps).astype(int), len(line) - 1)
+    freqs = np.where(line[bit_at] == 1, 1200.0, 2200.0)
+    phase = np.cumsum(2 * np.pi * freqs / FS)
+    a = (amp * np.sin(phase)).astype(np.float32)
+    z = np.zeros(lead, np.float32)
+    return np.concatenate([z, a, z])
+
+
+def _framed(payload: bytes):
+    return np.asarray(ops.hdlc_frame(ops.fcs_add(np.frombuffer(payload, np.uint8))))
+
+
+@pytest.fixture(scope="module")
+def corpus_1000():
+    noises = [0.0, 0.15, 0.3, 0.35, 0.4]
+    rng = np.random.RandomState(0)
+    parts, payloads = [], []
+    for i in range(1000):
+        p = f"N0CALL-{i%16}>APRS:T#{i:04d} corpus {'y'*(i%29)}".encode()
+        payloads.append(p)
+        amp = 0.05 + 0.95 * (i % 10) / 9
+        drift = ((i % 7) - 3) / 3 * 0.015
+        x = _afsk(_nrzi_line(_framed(p)), 1200.0 * (1 + drift), amp)
+        parts.append(x + rng.randn(len(x)).astype(np.float32) * (noises[i % 5] * amp))
+    return np.concatenate(parts), payloads
+
+
+def _count(audio, payloads, **kw):
+    got = {bytes(x) for x in ax25_1200_rx(audio, FS, **kw)}
+    return sum(1 for p in payloads if p in got)
+
+
+def test_decode_rate_discriminator(corpus_1000):
+    audio, payloads = corpus_1000
+    n = _count(audio, payloads)
+    assert n >= 600, f"discriminator decode rate regressed: {n}/1000"
+
+
+def test_decode_rate_tones_beats_discriminator(corpus_1000):
+    audio, payloads = corpus_1000
+    n_disc = _count(audio, payloads)
+    n_tones = _count(audio, payloads, demod="tones")
+    assert n_tones >= 900, f"dual-tone decode rate regressed: {n_tones}/1000"
+    # the tone correlator's sensitivity advantage is part of the contract
+    assert n_tones >= n_disc + 150
+
+
+def test_fix_bits_repairs_single_bit_errors():
+    # inverting the NRZI line from bit k onward creates EXACTLY one
+    # decoded-bit error at k — the case hdlc fix_bits repairs
+    rng = np.random.RandomState(3)
+    parts, payloads = [], []
+    for i in range(100):
+        p = f"CALL>T#{i:03d} bitfix corpus".encode()
+        payloads.append(p)
+        line = _nrzi_line(_framed(p)).copy()
+        k = rng.randint(170, len(line) - 20)
+        line[k:] ^= 1
+        parts.append(_afsk(line, 1200.0, 0.5))
+    audio = np.concatenate(parts)
+    n_plain = _count(audio, payloads, fix_bits=False)
+    n_fixed = _count(audio, payloads, fix_bits=True)
+    assert n_plain <= 50
+    assert n_fixed >= 80, f"fix_bits repair rate regressed: {n_fixed}/100"
+    assert n_fixed - n_plain >= 30
+
+
+def test_wpcr_decode_rate():
+    # 200 NRZ bursts with clock drift and noise through the batched WPCR
+    rng = np.random.RandomState(5)
+    bursts, payloads = [], []
+    for i in range(200):
+        p = f"W#{i:03d} wpcr corpus".encode()
+        payloads.append(p)
+        line = _nrzi_line(_framed(p)) * 2.0 - 1.0
+        sps = 10.0 * (1 + ((i % 5) - 2) / 2 * 0.01)
+        n = int(len(line) * sps)
+        idx = np.minimum((np.arange(n) / sps).astype(int), len(line) - 1)
+        x = line[idx].astype(np.float32)
+        x += rng.randn(n).astype(np.float32) * [0.0, 0.1, 0.25, 0.4, 0.55][i % 5]
+        bursts.append(x)
+    decoded = 0
+    for p, (syms, info) in zip(payloads, ops.wpcr_batch(bursts)):
+        if not info["found"]:
+            continue
+        bits = np.asarray(ops.nrzi_decode(ops.binary_slicer(syms)))
+        pkts, _ = ops.hdlc_deframe(bits, 5, 1500)
+        if any(bytes(np.asarray(d)) == p for d, _ in pkts):
+            decoded += 1
+    assert decoded >= 100, f"WPCR decode rate regressed: {decoded}/200"
