@@ -9,9 +9,10 @@ via ``ppermute`` riding ICI.
 """
 
 from .mesh import init_distributed, make_mesh, make_mesh_2d, time_axis_spec
-from .pipeline import pipeline_chain, pipeline_run
+from .pipeline import pipeline_chain, pipeline_run, pipeline_run_rates
 from .halo import halo_exchange_left, halo_exchange_right
 from .sharded import (
+    sharded_bell202_demod,
     sharded_fft_filter,
     sharded_fir_filter,
     sharded_fm_demod,
@@ -33,9 +34,11 @@ __all__ = [
     "make_mesh",
     "pipeline_chain",
     "pipeline_run",
+    "pipeline_run_rates",
     "make_mesh_2d",
     "pfb_channelize",
     "sharded_channelizer_fm",
+    "sharded_bell202_demod",
     "sharded_fft_filter",
     "sharded_fir_filter",
     "sharded_fm_demod",

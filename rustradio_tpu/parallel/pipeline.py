@@ -73,6 +73,81 @@ def pipeline_run(stage_fns, chunks, mesh: Mesh, axis: str = "stage"):
     return ys[d_stages - 1, d_stages - 1 :, :]
 
 
+def pipeline_run_rates(stages, chunks, mesh: Mesh, axis: str = "stage"):
+    """Pipeline with static per-stage rate ratios (decimators welcome).
+
+    ``stages``: list of ``(fn, in_len, out_len)`` — stage d maps an
+    ``(in_len,)`` array to an ``(out_len,)`` array, with
+    ``out_len[d] == in_len[d+1]``.  Internally every inter-stage chunk
+    rides a fixed-width "wire" buffer (the max of all lens, padded with
+    zeros) so ``lax.switch`` branches and ``ppermute`` handoffs keep one
+    static shape; each stage slices its prefix.  This is what lets a
+    decimating filter→demod chain run stage-per-device — the reference's
+    thread-per-block MTGraph with rate-changing blocks
+    (src/mtgraph.rs:73-149).
+
+    ``chunks``: (n_chunks, in_len0) of the wire dtype (complex64
+    recommended; real-valued stages can view/cast internally).
+    Returns (n_chunks, out_len_last), equal to composing the stage fns
+    chunk-by-chunk.
+    """
+    d_stages = len(stages)
+    if mesh.shape[axis] != d_stages:
+        raise ValueError(f"mesh axis {axis} must have {d_stages} devices")
+    for d in range(d_stages - 1):
+        if stages[d][2] != stages[d + 1][1]:
+            raise ValueError(
+                f"stage {d} emits {stages[d][2]} but stage {d+1} takes "
+                f"{stages[d+1][1]}"
+            )
+    chunks = jnp.asarray(chunks)
+    n_chunks = chunks.shape[0]
+    if chunks.shape[1] != stages[0][1]:
+        raise ValueError("chunks must be (n, in_len of stage 0)")
+    W = max(max(i, o) for _, i, o in stages)
+    out_last = stages[-1][2]
+
+    def wrap(fn, in_len, out_len):
+        def g(buf):
+            y = jnp.asarray(fn(buf[:in_len]), buf.dtype)
+            return jnp.pad(y, (0, W - out_len))
+
+        return g
+
+    branch_fns = [wrap(*s) for s in stages]
+    rounds = n_chunks + d_stages - 1
+    feed = jnp.concatenate(
+        [
+            jnp.pad(chunks, ((0, d_stages - 1), (0, W - chunks.shape[1]))),
+        ],
+        axis=0,
+    )
+    fwd = [(i, i + 1) for i in range(d_stages - 1)]
+
+    def body(carry, inject):
+        d = jax.lax.axis_index(axis)
+        cur = jnp.where(d == 0, inject, carry)
+        y = jax.lax.switch(d, branch_fns, cur)
+        handed = jax.lax.ppermute(y, axis, fwd) if fwd else y
+        return handed, y
+
+    def shard_body(feed_shard, init):
+        _, ys = jax.lax.scan(body, init[0], feed_shard)
+        return ys[None]
+
+    f = shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    init = jnp.zeros((d_stages, W), chunks.dtype)
+    ys = f(feed, init)
+    del rounds
+    return ys[d_stages - 1, d_stages - 1 :, :out_last]
+
+
 def pipeline_chain(stage_fns, x, mesh: Mesh, chunk_len: int, axis: str = "stage"):
     """Convenience: split a 1-D stream into chunks, pipeline, reassemble.
     The stream length must be a multiple of chunk_len and every stage must

@@ -87,6 +87,48 @@ def sharded_quadrature_demod(x, gain, mesh, axis: str = "time"):
     return _shmap(mesh, axis, body)(x)
 
 
+def sharded_bell202_demod(audio, samp_rate: float, mesh, axis: str = "time"):
+    """The full AX.25 1200 bd AFSK front-end, time-sharded in ONE program.
+
+    Hilbert(65) -> quadrature demod -> 1100 Hz low-pass -> centre offset
+    (models/ax25.py::bell202_demod, reference examples/ax25-1200-rx.rs:
+    229-247), with every filter history crossing shard boundaries as a
+    ppermute halo instead of carried state.  Output matches the offline
+    chain except the final global sample (the demod's missing lookahead).
+    """
+    from .. import taps as tapgen
+    from ..ops.fft_filter import fft_filter_float as _fft_filter_float
+
+    hil = np.asarray(tapgen.hilbert(65, "hamming"))
+    lp = np.asarray(tapgen.low_pass(samp_rate, 1100.0, 100.0, "hamming"))
+    nh, nl = len(hil), len(lp)
+    n_sh = mesh.shape[axis]
+    if audio.shape[0] % n_sh:
+        raise ValueError("stream length must divide the mesh axis")
+    if audio.shape[0] // n_sh <= max(nh, nl):
+        raise ValueError("shard shorter than the filter halo")
+    center = jnp.float32(-2.0 * np.pi * 1700.0 / samp_rate)
+
+    def body(xs):
+        ln = xs.shape[0]
+        # Hilbert: y_im[i] = sum_j hil[j] x[i-1-j]; y_re[i] = x[i - ceil(nh/2)]
+        ext = halo_exchange_left(xs, nh, axis)
+        y_im = _conv1d(ext, hil, stride=1, pad_left=0)[:ln]
+        y_re = jax.lax.dynamic_slice_in_dim(ext, nh // 2, ln)
+        analytic = jax.lax.complex(y_re, y_im)
+        # FM discriminator with a 1-sample right halo
+        ext2 = halo_exchange_right(analytic, 1, axis, fill=0)
+        d = jnp.conj(ext2[:-1]) * ext2[1:]
+        fm = jnp.arctan2(jnp.imag(d).astype(jnp.float32), jnp.real(d).astype(jnp.float32))
+        # 1100 Hz channel low-pass (zero history at global stream start)
+        ext3 = halo_exchange_left(fm, nl - 1, axis)
+        y = _fft_filter_float(ext3, lp)
+        y = jax.lax.dynamic_slice_in_dim(y, nl - 1, ln)
+        return y + center
+
+    return _shmap(mesh, axis, body)(jnp.asarray(audio, jnp.float32))
+
+
 def sharded_fm_demod(
     iq,
     taps,

@@ -109,3 +109,85 @@ def test_pipeline_stages_match_composition():
     x = rng.randn(1024).astype(np.float32)
     got2 = np.asarray(pipeline_chain(stages, x, mesh, chunk_len=256))
     np.testing.assert_allclose(got2, np.tanh(x * 2.0 + 1.0) - 0.25, atol=1e-6)
+
+
+def test_pipeline_run_rates_decimating():
+    # a decimating filter stage followed by a demod stage, stage-per-device
+    # (reference src/mtgraph.rs:73-149 with rate-changing blocks)
+    from rustradio_tpu.parallel import make_mesh, pipeline_run_rates
+
+    mesh = make_mesh(2, axis="stage")
+    rng = np.random.RandomState(7)
+
+    def filt_deci(x):  # (1024,) c64 -> (256,) c64: boxcar decimate by 4
+        return x.reshape(-1, 4).mean(axis=1)
+
+    def demod(x):  # (256,) c64 -> (255,) stored complex
+        return ops.quadrature_demod(x, 1.0).astype(jnp.complex64)
+
+    chunks = (rng.randn(6, 1024) + 1j * rng.randn(6, 1024)).astype(np.complex64)
+    got = np.asarray(
+        pipeline_run_rates(
+            [(filt_deci, 1024, 256), (demod, 256, 255)], chunks, mesh
+        )
+    )
+    assert got.shape == (6, 255)
+    for i in range(6):
+        want = np.asarray(demod(filt_deci(jnp.asarray(chunks[i]))))
+        np.testing.assert_allclose(got[i], want, atol=1e-5)
+
+
+def test_pipeline_run_rates_rejects_mismatch():
+    from rustradio_tpu.parallel import make_mesh, pipeline_run_rates
+
+    mesh = make_mesh(2, axis="stage")
+    with pytest.raises(ValueError):
+        pipeline_run_rates(
+            [(lambda x: x, 8, 8), (lambda x: x, 9, 9)],
+            np.zeros((2, 8), np.complex64),
+            mesh,
+        )
+
+
+def test_sharded_bell202_demod_matches_offline(mesh):
+    from rustradio_tpu.models.ax25 import bell202_demod
+    from rustradio_tpu.parallel import sharded_bell202_demod
+
+    fs = 24_000.0
+    rng = np.random.RandomState(9)
+    n = 8 * 4096
+    # AFSK-ish content: alternating tone bursts + noise
+    t = np.arange(n) / fs
+    audio = (0.5 * np.sin(2 * np.pi * 1200 * t) * (np.sin(2 * np.pi * 30 * t) > 0)
+             + 0.5 * np.sin(2 * np.pi * 2200 * t) * (np.sin(2 * np.pi * 30 * t) <= 0)
+             + 0.01 * rng.randn(n)).astype(np.float32)
+    got = np.asarray(sharded_bell202_demod(jnp.asarray(audio), fs, mesh))
+    want = np.asarray(bell202_demod(jnp.asarray(audio), fs))
+    m = len(want)  # offline chain emits n-1
+    np.testing.assert_allclose(got[: m], want, atol=2e-3)
+
+
+def test_sharded_bell202_decodes_packets(mesh):
+    # end-to-end: sharded front-end feeds the standard symbol-sync/HDLC
+    # tail and decodes the same packets as the single-device chain
+    import sys
+    sys.path.insert(0, "tests")
+    from test_models import make_afsk
+    from rustradio_tpu.models.ax25 import ax25_1200_rx
+    from rustradio_tpu.parallel import sharded_bell202_demod
+
+    fs = 24_000.0
+    payloads = [f"MESH FRAME {i}".encode() for i in range(3)]
+    audio = np.concatenate([make_afsk(p, fs=fs, lead_zeros=500) for p in payloads])
+    pad = (-len(audio)) % (8 * 256)
+    audio = np.concatenate([audio, np.zeros(pad, np.float32)])
+
+    nrz = np.asarray(sharded_bell202_demod(jnp.asarray(audio), fs, mesh))
+    syms = ops.recover_symbols(nrz, fs / 1200.0, 0.5, (0.5, 0.5))
+    bits = np.asarray(ops.nrzi_decode(ops.binary_slicer(jnp.asarray(syms))))
+    pkts, _ = ops.hdlc_deframe(bits, 10, 1500)
+    got = [bytes(np.asarray(d)) for d, _ in pkts]
+    assert got == payloads
+    # and equals the single-device model output
+    single = [bytes(p) for p in ax25_1200_rx(audio, fs)]
+    assert got == single
