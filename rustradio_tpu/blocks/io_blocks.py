@@ -225,6 +225,19 @@ class ReaderSource(SourceBlock):
         del self._buf[:take]
         return jnp.asarray(out)
 
+    def apply(self):
+        # offline mode: drain the reader to EOF
+        if self.n is not None:
+            return self.emit(0, self.n)
+        parts = []
+        while not self.exhausted():
+            out = np.asarray(self.emit(0, 65536))
+            if len(out):
+                parts.append(out)
+        return jnp.asarray(
+            np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+        )
+
 
 class WriterSink(Block):
     """Any writable object sink (reference src/writer_sink.rs)."""

@@ -96,6 +96,65 @@ class Graph:
         self._token = CancellationToken()
         self._stats: dict[int, float] = {}
         self._jit_cache: dict[tuple[int, str], Any] = {}
+        self._costs: dict[int, dict[str, float]] = {}
+        self._cost_seen: dict = {}
+        self._profiling = False
+
+    # ---- profiling ----
+    def _profile_ctx(self, profile_dir: str | None):
+        """jax.profiler trace over the whole run (SURVEY §5 tracing row:
+        the TPU equivalent of the reference's per-block timing hooks is an
+        xprof trace with one named region per block/segment)."""
+        import contextlib
+
+        if not profile_dir:
+            return contextlib.nullcontext()
+        import jax
+
+        self._profiling = True
+        return jax.profiler.trace(profile_dir)
+
+    def _annotate(self, name: str):
+        import contextlib
+
+        if not self._profiling:
+            return contextlib.nullcontext()
+        import jax
+
+        return jax.profiler.TraceAnnotation(f"rr::{name}")
+
+    def _record_cost(self, idx: int, fn, args):
+        """Accumulate compiled-program FLOPs + bytes for the stats table.
+
+        XLA's cost analysis is queried once per (node, input signature)
+        from the compilation cache and then charged on every execution —
+        the SURVEY §5 per-segment bytes+FLOPs accounting.
+        """
+        import jax
+
+        sig = (
+            idx,
+            tuple(
+                (tuple(np.shape(a)), str(getattr(a, "dtype", type(a).__name__)))
+                for a in jax.tree_util.tree_leaves(args)
+            ),
+        )
+        per_call = self._cost_seen.get(sig)
+        if per_call is None:
+            try:
+                cost = fn.lower(*args).compile().cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0] if cost else {}
+                per_call = (
+                    float(cost.get("flops", 0.0) or 0.0),
+                    float(cost.get("bytes accessed", 0.0) or 0.0),
+                )
+            except Exception:
+                per_call = (0.0, 0.0)
+            self._cost_seen[sig] = per_call
+        agg = self._costs.setdefault(idx, {"flops": 0.0, "bytes": 0.0})
+        agg["flops"] += per_call[0]
+        agg["bytes"] += per_call[1]
 
     # ---- construction ----
     def add(self, block: Block, *inputs) -> Node:
@@ -273,14 +332,22 @@ class Graph:
         tags (all member ports); returns new states for members."""
         ext_in, ext_out, fn = self._segment_fn(seg, streaming=states is not None)
         args = [_stage_for("device", values[k]) for k in ext_in]
+        seg_name = "+".join(n.block.name() for n in seg[:3]) + (
+            f"+{len(seg)-3}" if len(seg) > 3 else ""
+        )
         t0 = time.perf_counter()
-        if states is None:
-            outs = fn(*args)
-            new_states = None
-        else:
-            seg_states = {n.idx: states[n.idx] for n in seg}
-            new_states, outs = fn(seg_states, *args)
+        with self._annotate(f"segment:{seg_name}"):
+            if states is None:
+                outs = fn(*args)
+                new_states = None
+            else:
+                seg_states = {n.idx: states[n.idx] for n in seg}
+                new_states, outs = fn(seg_states, *args)
         dt = (time.perf_counter() - t0) / len(seg)
+        if states is None:
+            self._record_cost(seg[0].idx, fn, tuple(args))
+        else:
+            self._record_cost(seg[0].idx, fn, (seg_states,) + tuple(args))
         for n in seg:
             self._stats[n.idx] = self._stats.get(n.idx, 0.0) + dt
         for k, o in zip(ext_out, outs):
@@ -363,8 +430,17 @@ class Graph:
             seen.add(n.idx)
         return self.nodes
 
-    def run(self) -> None:
-        """Offline mode: evaluate every block once over whole streams."""
+    def run(self, profile_dir: str | None = None) -> None:
+        """Offline mode: evaluate every block once over whole streams.
+
+        ``profile_dir``: write a jax.profiler (xprof) trace there, with one
+        named ``rr::`` region per block/segment.
+        """
+        with self._profile_ctx(profile_dir):
+            self._run_inner()
+        self._profiling = False
+
+    def _run_inner(self) -> None:
         values: dict[tuple[int, int], Any] = {}
         tags: dict[tuple[int, int], list[Tag]] = {}
         segs = self._segments()
@@ -385,16 +461,19 @@ class Graph:
             if hasattr(b, "set_tags") and in_tags:
                 b.set_tags(in_tags[0])
             t0 = time.perf_counter()
-            if isinstance(b, SourceBlock):
-                out = b.apply()
-                total = b.total_len()
-                out_tags_src = b.emit_tags(0, total) if total is not None else []
-            elif b.domain == "device" and b.n_out > 0 and b.jit_chunk:
-                out = self._device_call(node, "apply")(*xs)
-                out_tags_src = None
-            else:
-                out = b.apply(*xs)
-                out_tags_src = None
+            with self._annotate(b.name()):
+                if isinstance(b, SourceBlock):
+                    out = b.apply()
+                    total = b.total_len()
+                    out_tags_src = b.emit_tags(0, total) if total is not None else []
+                elif b.domain == "device" and b.n_out > 0 and b.jit_chunk:
+                    fn = self._device_call(node, "apply")
+                    out = fn(*xs)
+                    self._record_cost(node.idx, fn, tuple(xs))
+                    out_tags_src = None
+                else:
+                    out = b.apply(*xs)
+                    out_tags_src = None
             self._stats[node.idx] = self._stats.get(node.idx, 0.0) + (
                 time.perf_counter() - t0
             )
@@ -426,13 +505,36 @@ class Graph:
         checkpoint_path: str | None = None,
         checkpoint_every: int = 0,
         resume_from: str | None = None,
+        profile_dir: str | None = None,
     ):
         """Streaming mode: fixed-size chunks with carried block state.
 
         With ``checkpoint_path`` + ``checkpoint_every=k`` the per-block state
         pytrees and the stream offset are snapshotted every k chunks;
-        ``resume_from`` restarts from such a snapshot.
+        ``resume_from`` restarts from such a snapshot.  ``profile_dir``
+        writes a jax.profiler (xprof) trace with ``rr::`` regions.
         """
+        import contextlib
+
+        _pstack = contextlib.ExitStack()
+        _pstack.enter_context(self._profile_ctx(profile_dir))
+        try:
+            self._run_stream_inner(
+                chunk_size, max_chunks, checkpoint_path, checkpoint_every,
+                resume_from,
+            )
+        finally:
+            _pstack.close()
+            self._profiling = False
+
+    def _run_stream_inner(
+        self,
+        chunk_size: int,
+        max_chunks: int | None,
+        checkpoint_path: str | None,
+        checkpoint_every: int,
+        resume_from: str | None,
+    ):
         sources = [n for n in self.nodes if isinstance(n.block, SourceBlock)]
         if not sources:
             raise ValueError("graph has no sources")
@@ -509,12 +611,13 @@ class Graph:
                 if hasattr(b, "set_tags") and in_tags:
                     b.set_tags(in_tags[0])
                 t0 = time.perf_counter()
-                if b.domain == "device" and b.n_out > 0 and b.jit_chunk:
-                    states[node.idx], out = self._device_call(node, "apply_chunk")(
-                        states[node.idx], *xs
-                    )
-                else:
-                    states[node.idx], out = b.apply_chunk(states[node.idx], *xs)
+                with self._annotate(b.name()):
+                    if b.domain == "device" and b.n_out > 0 and b.jit_chunk:
+                        fn = self._device_call(node, "apply_chunk")
+                        states[node.idx], out = fn(states[node.idx], *xs)
+                        self._record_cost(node.idx, fn, (states[node.idx], *xs))
+                    else:
+                        states[node.idx], out = b.apply_chunk(states[node.idx], *xs)
                 self._stats[node.idx] = self._stats.get(node.idx, 0.0) + (
                     time.perf_counter() - t0
                 )
@@ -551,13 +654,37 @@ class Graph:
 
     # ---- stats ----
     def generate_stats(self) -> str:
-        """Per-block elapsed-time table (reference src/graph.rs:175-257)."""
+        """Per-block elapsed-time table (reference src/graph.rs:175-257),
+        extended with XLA cost analysis per jitted block/segment: FLOPs,
+        bytes accessed, and achieved GB/s vs the chip's HBM roofline.
+        Fused segments report their whole program on the first member."""
+        from .utils.stats import device_hbm_gbps
+
         total = sum(self._stats.values()) or 1e-12
-        lines = ["block                          seconds     %"]
+        have_costs = bool(self._costs)
+        hdr = "block                          seconds     %"
+        if have_costs:
+            hdr += "    GFLOP     GB   GB/s  roof%"
+        lines = [hdr]
+        roof = None
         for node in self.nodes:
             t = self._stats.get(node.idx, 0.0)
-            lines.append(
-                f"{node.block.name():<30} {t:>8.4f} {100.0 * t / total:>5.1f}"
-            )
+            row = f"{node.block.name():<30} {t:>8.4f} {100.0 * t / total:>5.1f}"
+            c = self._costs.get(node.idx)
+            if c is not None:
+                if roof is None:
+                    import jax
+
+                    roof = device_hbm_gbps(jax.devices()[0])
+                gbps = c["bytes"] / max(t, 1e-12) / 1e9
+                row += (
+                    f" {c['flops']/1e9:>8.3f} {c['bytes']/1e9:>6.3f}"
+                    f" {gbps:>6.1f} {100*gbps/roof:>5.1f}"
+                )
+            lines.append(row)
         lines.append(f"{'TOTAL':<30} {total:>8.4f} 100.0")
         return "\n".join(lines)
+
+    def costs(self) -> dict[int, dict[str, float]]:
+        """Per-node accumulated {'flops', 'bytes'} from XLA cost analysis."""
+        return dict(self._costs)

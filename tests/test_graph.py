@@ -397,3 +397,37 @@ def test_fused_segment_with_tee_fanout():
     want = np.asarray(ops.fir_filter(x, taps))
     np.testing.assert_allclose(s1.data(), want + 1.0, atol=1e-5)
     np.testing.assert_allclose(s2.data(), want * 2.0, atol=1e-5)
+
+
+def test_profile_dir_writes_trace_and_costs(tmp_path):
+    # SURVEY §5 tracing row: jax.profiler trace with one rr:: region per
+    # block/segment, plus XLA cost analysis in the stats table
+    import glob
+
+    d = str(tmp_path / "trace")
+    g = Graph()
+    g.chain(
+        blocks.VectorSource(np.random.randn(1 << 14).astype(np.float32)),
+        blocks.AddConst(1.0),
+        blocks.MultiplyConst(2.0),
+        blocks.NullSink(),
+    )
+    g.run(profile_dir=d)
+    assert glob.glob(d + "/**/*.xplane.pb", recursive=True)
+    assert g.costs(), "XLA cost analysis should be recorded"
+    stats = g.generate_stats()
+    assert "GFLOP" in stats and "roof%" in stats
+
+
+def test_run_stream_profile_dir(tmp_path):
+    import glob
+
+    d = str(tmp_path / "trace")
+    g = Graph()
+    g.chain(
+        blocks.VectorSource(np.random.randn(1 << 14).astype(np.float32)),
+        blocks.AddConst(1.0),
+        blocks.NullSink(),
+    )
+    g.run_stream(chunk_size=1 << 12, profile_dir=d)
+    assert glob.glob(d + "/**/*.xplane.pb", recursive=True)
