@@ -81,10 +81,37 @@ def main(argv=None) -> int:
     p.add_argument("--stream-id", default="rtl-sdr")
     p.add_argument("--packet-bytes", type=int, default=16_384)
     p.add_argument("--repeat", action="store_true", help="loop the capture")
+    p.add_argument("--tcp", type=int, metavar="PORT",
+                   help="serve many concurrent clients over TCP instead of "
+                        "stdin/stdout (nonblocking asyncio server)")
     opt = p.parse_args(argv)
 
     raw = np.fromfile(opt.read, np.uint8)
     payload = downsample_u8(raw, float(opt.sample_rate), float(opt.downsample_rate))
+
+    if opt.tcp is not None:
+        import asyncio
+
+        def payload_at(pos: int, n: int) -> bytes:
+            if opt.repeat:
+                pos %= len(payload)
+            elif pos >= len(payload):
+                return b""
+            return payload[pos : pos + n]
+
+        async def amain():
+            srv = data_stream.DataStreamServer(
+                payload_at, opt.stream_id, opt.packet_bytes
+            )
+            host, port = await srv.serve("0.0.0.0", opt.tcp)
+            print(f"serving DATA_STREAM on {host}:{port}", file=sys.stderr)
+            await asyncio.Event().wait()  # until interrupted
+
+        try:
+            asyncio.run(amain())
+        except KeyboardInterrupt:
+            pass
+        return 0
 
     stdin = os.fdopen(sys.stdin.fileno(), "rb", buffering=0)
     stdout = os.fdopen(sys.stdout.fileno(), "wb", buffering=0)

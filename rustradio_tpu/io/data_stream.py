@@ -124,6 +124,153 @@ class SyncWriter:
         return n
 
 
+class AsyncWriter:
+    """Asyncio DATA_STREAM writer (reference src/data_stream.rs:643-716
+    asynchronous::AsyncWriter over tokio)."""
+
+    def __init__(self, writer):
+        self._w = writer  # asyncio.StreamWriter
+
+    async def write_version(self):
+        self._w.write(encode_version())
+        await self._w.drain()
+
+    async def write_request_data(self, stream_id: str, window: int):
+        self._w.write(encode_request_data(stream_id, window))
+        await self._w.drain()
+
+    async def write_data(self, stream_id: str, data: bytes):
+        self._w.write(encode_data(stream_id, data))
+        await self._w.drain()
+
+
+class AsyncReader:
+    """Asyncio DATA_STREAM reader (reference src/data_stream.rs:591-641
+    asynchronous::AsyncReader).
+
+    ``read_packet`` awaits one full frame and returns the parsed tuple,
+    or None at a clean EOF between packets.
+    """
+
+    def __init__(self, reader, max_packet: int = MAX_PACKET):
+        self._r = reader  # asyncio.StreamReader
+        self._parser = BytesReader(max_packet)
+        self.max_packet = max_packet
+
+    async def read_packet(self):
+        import asyncio
+
+        try:
+            hdr = await self._r.readexactly(4)
+        except asyncio.IncompleteReadError as e:
+            if not e.partial:
+                return None  # clean EOF between packets
+            raise ProtocolError("EOF inside packet header") from e
+        (plen,) = struct.unpack("<I", hdr)
+        if plen == 0:
+            raise ProtocolError("zero-length packet")
+        if plen > self.max_packet:
+            raise ProtocolError(f"packet of {plen} bytes exceeds cap")
+        try:
+            body = await self._r.readexactly(plen)
+        except asyncio.IncompleteReadError as e:
+            raise ProtocolError("EOF inside packet body") from e
+        return self._parser._parse(body[0], body[1:])
+
+    async def read_version(self) -> bool:
+        pkt = await self.read_packet()
+        if pkt is None:
+            return False
+        if pkt[0] != "version":
+            raise ProtocolError("first packet must be Version")
+        return True
+
+
+class DataStreamServer:
+    """Nonblocking multi-client DATA_STREAM server (asyncio).
+
+    The reference's agraph runs its I/O blocks on a tokio runtime; this is
+    the counterpart for serving a byte stream to many concurrent clients:
+    each connection gets its own position and credit window, so a slow or
+    idle client never blocks the others.
+
+    ``payload_fn(pos, n) -> bytes`` supplies stream bytes (return b"" to
+    end that client's stream; loop internally for a live/repeating feed).
+    """
+
+    def __init__(self, payload_fn, stream_id: str = "rtl-sdr",
+                 packet_bytes: int = 16_384):
+        self.payload_fn = payload_fn
+        self.stream_id = stream_id
+        self.packet_bytes = packet_bytes
+        self.clients = 0
+        self._server = None
+
+    async def _handle(self, reader, writer):
+        import asyncio
+
+        self.clients += 1
+        r = AsyncReader(reader)
+        w = AsyncWriter(writer)
+        try:
+            await w.write_version()
+            if not await r.read_version():
+                return
+            window = 0
+            window_changed = asyncio.Event()
+
+            async def control():
+                nonlocal window
+                while True:
+                    pkt = await r.read_packet()
+                    if pkt is None:
+                        break
+                    if pkt[0] == "request_data" and pkt[1] == self.stream_id:
+                        window = pkt[2]  # replaces the previous window
+                        window_changed.set()
+                window_changed.set()
+
+            ctl = asyncio.ensure_future(control())
+            pos = 0
+            try:
+                while not ctl.done():
+                    if window <= 0:
+                        window_changed.clear()
+                        await window_changed.wait()
+                        continue
+                    n = min(window, self.packet_bytes)
+                    data = self.payload_fn(pos, n)
+                    if not data:
+                        break
+                    await w.write_data(self.stream_id, data)
+                    pos += len(data)
+                    window -= len(data)
+                    await asyncio.sleep(0)  # yield between sends
+            finally:
+                ctl.cancel()
+        except (ProtocolError, ConnectionError, OSError):
+            pass
+        finally:
+            self.clients -= 1
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except (ConnectionError, OSError):
+                pass
+
+    async def serve(self, host: str = "127.0.0.1", port: int = 0):
+        """Start serving; returns the bound (host, port)."""
+        import asyncio
+
+        self._server = await asyncio.start_server(self._handle, host, port)
+        return self._server.sockets[0].getsockname()[:2]
+
+    async def close(self):
+        if self._server is not None:
+            self._server.close()
+            await self._server.wait_closed()
+
+
 class SyncReader:
     """Reader that pulls with RequestData (reference SyncReader)."""
 

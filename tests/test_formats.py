@@ -158,3 +158,113 @@ def test_il2p_callsign_decode():
     # SIXBIT: char = (c & 63) + 0x20
     data = [ord(c) - 0x20 for c in "M0THC "]
     assert decode_callsign(np.asarray(data)) == "M0THC"
+
+
+# ------------------------------------------------------- async data_stream
+
+
+def test_async_reader_writer_roundtrip():
+    # reference src/data_stream.rs:546-716 asynchronous module
+    import asyncio
+
+    async def go():
+        srv_done = asyncio.Event()
+        got = []
+
+        async def handle(reader, writer):
+            r = ds.AsyncReader(reader)
+            w = ds.AsyncWriter(writer)
+            await w.write_version()
+            assert await r.read_version()
+            got.append(await r.read_packet())
+            await w.write_data("s", b"payload")
+            await srv_done.wait()
+            writer.close()
+
+        server = await asyncio.start_server(handle, "127.0.0.1", 0)
+        port = server.sockets[0].getsockname()[1]
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        r = ds.AsyncReader(reader)
+        w = ds.AsyncWriter(writer)
+        await w.write_version()
+        assert await r.read_version()
+        await w.write_request_data("s", 1024)
+        pkt = await r.read_packet()
+        assert pkt == ("data", "s", b"payload")
+        srv_done.set()
+        writer.close()
+        server.close()
+        await server.wait_closed()
+        assert got == [("request_data", "s", 1024)]
+
+    asyncio.run(go())
+
+
+def test_data_stream_server_multi_client():
+    # one slow client with a tiny window must not block a fast client
+    import asyncio
+
+    payload = bytes(range(256)) * 64  # 16 KiB
+
+    def payload_at(pos, n):
+        return payload[pos : pos + n]
+
+    async def client(port, window, expect):
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        r = ds.AsyncReader(reader)
+        w = ds.AsyncWriter(writer)
+        await w.write_version()
+        assert await r.read_version()
+        await w.write_request_data("rtl-sdr", window)
+        buf = b""
+        while len(buf) < expect:
+            pkt = await r.read_packet()
+            assert pkt[0] == "data"
+            buf += pkt[2]
+        writer.close()
+        return buf
+
+    async def go():
+        srv = ds.DataStreamServer(payload_at, packet_bytes=1024)
+        _, port = await srv.serve()
+        fast = client(port, len(payload), len(payload))
+        slow = client(port, 512, 512)
+        r_fast, r_slow = await asyncio.wait_for(
+            asyncio.gather(fast, slow), timeout=10
+        )
+        assert r_fast == payload
+        assert r_slow == payload[:512]
+        await srv.close()
+
+    asyncio.run(go())
+
+
+def test_data_stream_server_window_replacement():
+    # a second RequestData REPLACES the window (DATA_STREAM.md semantics)
+    import asyncio
+
+    def payload_at(pos, n):
+        return bytes([pos % 256]) * n
+
+    async def go():
+        srv = ds.DataStreamServer(payload_at, packet_bytes=128)
+        _, port = await srv.serve()
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        r = ds.AsyncReader(reader)
+        w = ds.AsyncWriter(writer)
+        await w.write_version()
+        assert await r.read_version()
+        await w.write_request_data("rtl-sdr", 128)
+        pkt = await r.read_packet()
+        assert len(pkt[2]) == 128
+        # window now 0: grant more and keep reading
+        await w.write_request_data("rtl-sdr", 256)
+        total = 0
+        while total < 256:
+            pkt = await r.read_packet()
+            total += len(pkt[2])
+        assert total == 256
+        writer.close()
+        await srv.close()
+
+    asyncio.run(go())
