@@ -23,17 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..taps import low_pass
-from ..ops.demod import quadrature_demod
-
-
 def channelizer_taps(n_channels: int, taps_per_branch: int = 8, atten_frac: float = 0.4):
     """Prototype lowpass for an M-channel PFB: cutoff at atten_frac of the
-    channel spacing, length M * taps_per_branch."""
+    channel spacing, length M * taps_per_branch (windowed sinc at fs=1)."""
     ntaps = n_channels * taps_per_branch
-    # design at fs=1, cutoff = atten_frac / M using a kaiser-free approach:
-    # reuse the reference-style windowed sinc via low_pass on a virtual rate.
-    fs = float(n_channels)
     h = _windowed_sinc(ntaps, atten_frac / n_channels)
     return (h / h.sum()).astype(np.float32)
 
