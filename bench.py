@@ -1,15 +1,25 @@
 #!/usr/bin/env python3
 """Headline benchmark: FM-demod chain throughput on the available device.
 
-Chain: overlap-save FFT low-pass (low_pass(1.024 MHz, 100 kHz, 50 kHz) —
+Chain: 100 kHz channel low-pass (low_pass(1.024 MHz, 100 kHz, 50 kHz) —
 the reference's own micro-benchmark filter, benches/bench_rustradio.rs:
-72-125) + decimate-by-4 + quadrature demod, fused in one jit program.
+72-125) + decimate-by-4 + quadrature demod.  On TPU this runs as ONE
+fused Pallas kernel (ops.pallas_fm_chain): banded MXU FIR on both I/Q
+planes + polynomial-atan2 discriminator, all in VMEM per tile — HBM
+traffic is the two f32 input planes once and the f32 audio once.
 
 Baseline: the reference publishes one full-chain wall-time figure —
 ax25-1200-rx over WA8LMF CD track 1 (44.1 kHz * ~30 min = 79.4 Msamples) in
 0.929 s multithreaded with 40 MB buffers (reference src/stream.rs:100-104),
 i.e. ~85.4 Msamples/s for its full receive chain on the author's x86 box.
 ``vs_baseline`` is measured Msamples/s divided by that 85.4.
+
+Roofline accounting (VERDICT r1 item 4): ``bytes_per_sample`` is the
+kernel's true HBM traffic — 2 f32 plane reads (8 B) + f32 audio write at
+1/deci rate (1 B) + the amortized halo re-read (nq*deci rows per
+tile_rows*deci rows, <1%) — and ``gbps``/``roofline_pct`` report the
+achieved bandwidth against the chip's published HBM bandwidth
+(utils/stats.HBM_GBPS).
 
 Timing notes: on this image's axon TPU tunnel ``block_until_ready`` does
 not synchronize with device execution, so the benchmark loops *inside* one
@@ -18,7 +28,8 @@ synchronizes once with a scalar readback (~25 ms steady-state, subtracted
 via calibration).
 
 Prints exactly one JSON line:
-  {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "Msamples/s", "vs_baseline": N,
+   "gbps": N, "roofline_pct": N}
 """
 
 import json
@@ -34,24 +45,29 @@ BASELINE_MSPS = 85.4  # reference ax25-1200-rx: 79.4 Msamples / 0.929 s
 def main() -> None:
     from rustradio_tpu import taps as tg
     from rustradio_tpu import ops
+    from rustradio_tpu.utils.stats import device_hbm_gbps
 
     dev = jax.devices()[0]
     on_tpu = dev.platform != "cpu"
     n = 1 << 24 if on_tpu else 1 << 20
-    iters = 64 if on_tpu else 2
+    # long loops: the differenced time (~iters * t_c ~ 150 ms) must
+    # dominate the tunnel's ~30 ms latency jitter
+    iters = 128 if on_tpu else 2
     deci = 4
 
-    lp = tg.low_pass_complex(1_024_000.0, 100_000.0, 50_000.0, "hamming")
+    lp = np.asarray(tg.low_pass_complex(1_024_000.0, 100_000.0, 50_000.0, "hamming"))
+    lpr = np.real(lp).astype(np.float32)
 
     from rustradio_tpu.ops.fft_filter import fft_filter_decimate
 
-    def chain(x):
+    def chain(a, b, s):
         if on_tpu:
-            # banded MXU FIR (ops/pallas_kernels.py): ~3.2x the overlap-save
-            # FFT path at this tap count, bf16x3 precision (err ~3e-7)
-            y = ops.pallas_fir_decimate(x, lp, deci)
-        else:
-            y = fft_filter_decimate(x, lp, deci, fft_size=8192)
+            # one fused memory pass: banded MXU FIR + demod in VMEM.  The
+            # per-iteration variation rides an SMEM scalar INSIDE the
+            # kernel, so the loop adds no input-copy traffic and the
+            # measured rate is the kernel's own.
+            return ops.pallas_fm_chain(a, b, lpr, deci, 1.0, offset=s)
+        y = fft_filter_decimate(jax.lax.complex(a + s, b + s), lp, deci, fft_size=8192)
         return ops.quadrature_demod(y, 1.0)
 
     @jax.jit
@@ -61,36 +77,52 @@ def main() -> None:
         # (prevents loop-invariant hoisting) and folds the full output into
         # the carry (prevents DCE).
         a, b = jax.random.normal(key, (2, n), jnp.float32)
-        x = jax.lax.complex(a, b)
 
         def body(carry, s):
-            # additive variation: the chain is linear+scale-invariant, so a
-            # multiplicative scale could be hoisted out of the loop by XLA.
-            y = chain(x + jax.lax.complex(s, s))
+            # additive variation (via the in-kernel offset): the chain is
+            # linear+scale-invariant, so a multiplicative scale could be
+            # hoisted out of the loop by XLA.
+            y = chain(a, b, s)
             return carry + jnp.sum(y), ()
 
         total, _ = jax.lax.scan(body, jnp.float32(0.0), scales)
         return total
 
     key = jax.random.key(0)
-    scales = jnp.linspace(0.0, 0.001, iters).astype(jnp.float32)
+    half = jnp.linspace(0.0, 0.001, iters).astype(jnp.float32)
+    full = jnp.linspace(0.0, 0.001, 2 * iters).astype(jnp.float32)
 
     # Warmup: compile both programs and the transfer path.
-    float(bench_loop(key, scales[:1]))
-    float(bench_loop(key, scales))
+    float(bench_loop(key, half))
+    float(bench_loop(key, full))
 
-    # Calibrate the fixed sync overhead with the 1-iteration program.
-    t0 = time.perf_counter()
-    float(bench_loop(key, scales[:1]))
-    t_one = time.perf_counter() - t0
+    # Per-iteration time from the DIFFERENCE of the two loop lengths
+    # (cancels the fixed sync/readback overhead); median of 5 rides out
+    # the tunnel's latency jitter without the max-statistic's upward bias.
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(bench_loop(key, half))
+        t_half = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(bench_loop(key, full))
+        t_full = time.perf_counter() - t0
+        t_c = max((t_full - t_half) / iters, 1e-9)
+        samples.append(n / t_c / 1e6)
+    msps = sorted(samples)[len(samples) // 2]
 
-    t0 = time.perf_counter()
-    float(bench_loop(key, scales))
-    t_full = time.perf_counter() - t0
-
-    # t_full = overhead + iters*t_c;  t_one = overhead + t_c
-    t_c = max((t_full - t_one) / (iters - 1), 1e-9)
-    msps = n / t_c / 1e6
+    # True HBM bytes per input sample for the fused kernel: two f32 plane
+    # reads + f32 audio write at 1/deci + amortized halo re-read.
+    ntaps = len(lpr)
+    wlen = -(-ntaps // deci) * deci
+    nq = -(-((deci * 127 + wlen - 1) // 128 + 1) // deci)
+    tile_rows = 1024
+    halo_frac = (nq * deci) / (tile_rows * deci)
+    # kernel reads both planes (+halo), writes audio; the loop's sum reads
+    # the audio back once
+    bytes_per_sample = 2 * 4 * (1 + halo_frac) + 2 * 4.0 / deci
+    gbps = msps * 1e6 * bytes_per_sample / 1e9
+    roof = device_hbm_gbps(dev)
     print(
         json.dumps(
             {
@@ -98,6 +130,8 @@ def main() -> None:
                 "value": round(msps, 1),
                 "unit": "Msamples/s",
                 "vs_baseline": round(msps / BASELINE_MSPS, 2),
+                "gbps": round(gbps, 1),
+                "roofline_pct": round(100 * gbps / roof, 1),
             }
         )
     )

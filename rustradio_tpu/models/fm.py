@@ -62,6 +62,38 @@ def fm_demod_chain(
     return _fm_demod_chain(stage_iq(iq), samp_rate, cutoff, twidth, deci, gain)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("samp_rate", "cutoff", "twidth", "deci", "gain")
+)
+def fm_demod_chain_planar(
+    i,
+    q,
+    samp_rate: float = 1_024_000.0,
+    cutoff: float = 100_000.0,
+    twidth: float = 50_000.0,
+    deci: int = 4,
+    gain: float = 1.0,
+):
+    """Planar-input FM chain: the fastest TPU path.
+
+    Takes separate f32 I/Q streams (the SDR wire format, and what the
+    axon tunnel transfers) and runs the WHOLE chain — banded MXU FIR
+    low-pass + decimate + quadrature demod — as ONE fused Pallas kernel
+    (ops.pallas_fm_chain): two f32 planes read from HBM once, audio
+    written once, nothing else touches HBM.  Falls back to the composed
+    complex chain off-TPU or for long/complex tap sets.
+    """
+    from ..ops.pallas_kernels import _on_tpu, pallas_fm_chain
+
+    lp = np.asarray(tapgen.low_pass_complex(samp_rate, cutoff, twidth, "hamming"))
+    if _on_tpu() and len(lp) <= 1024 and not np.any(np.imag(lp)):
+        return pallas_fm_chain(i, q, np.real(lp), deci, gain)
+    return _fm_demod_chain(
+        jax.lax.complex(jnp.asarray(i, jnp.float32), jnp.asarray(q, jnp.float32)),
+        samp_rate, cutoff, twidth, deci, gain,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("samp_rate", "audio_rate", "volume"))
 def _am_rx(iq, samp_rate, audio_rate, volume):
     lp = tapgen.low_pass_complex(samp_rate, 12_500.0, 10_000.0, "hamming")

@@ -41,7 +41,12 @@ from .correlate import correlate_access_code
 from .fft import fft_pdu, fft_stream
 from .signal import signal_source_c, signal_source_f
 
-_PALLAS_NAMES = ("fast_atan2", "pallas_fir_decimate", "pallas_quad_demod")
+_PALLAS_NAMES = (
+    "fast_atan2",
+    "pallas_fir_decimate",
+    "pallas_fm_chain",
+    "pallas_quad_demod",
+)
 
 __all__ = [k for k in dir() if not k.startswith("_")] + list(_PALLAS_NAMES)
 

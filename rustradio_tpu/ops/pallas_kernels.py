@@ -222,26 +222,37 @@ def pallas_fir_decimate(x, taps, deci: int, tile_rows: int | None = None):
 
     wlen, nq, w = _fir_band_weights(taps, deci)
     if tile_rows is None:
-        tile_rows = 512
+        # 1024 rows fits the 16 MB scoped-VMEM budget with double
+        # buffering and amortizes the grid pipeline best (measured)
+        tile_rows = 1024
     tile_rows = max(tile_rows, nq)
     tile_rows += (-tile_rows) % 16  # keep main/halo block rows 8-divisible
-    # The halo ref fetches only the rows just past the tile, not a whole
-    # second block.  Its block height must be sublane-aligned (multiple of
-    # 8) and divide the tile block height so the index map stays integral.
+    return _banded_call(
+        x, w, deci, nq, wlen, tile_rows,
+        functools.partial(_fir_band_kernel, deci=deci, nq=nq, rows=tile_rows),
+    )
+
+
+def _banded_tiling(x, deci, nq, wlen, tile_rows):
+    """Shared tiling/padding for the banded kernels: returns
+    (x2d, hrows, g, m) — the padded (in_rows, 128) input view, the halo
+    block height, the grid size, and the output count."""
+    n = x.shape[0]
+    m = -(-n // deci)
+    left = wlen - 1
     hrows = nq * deci + (-(nq * deci)) % 8
     mrows = -(-m // 128)
     g = -(-mrows // tile_rows)
-    # xp rows for g tiles plus the final tile's halo block.
     in_rows = g * tile_rows * deci + hrows
-    xp = jnp.pad(x, (left, in_rows * 128 - n - left))
-    x2d = xp.reshape(in_rows, 128)
-    kern = functools.partial(_fir_band_kernel, deci=deci, nq=nq, rows=tile_rows)
     if (tile_rows * deci) % hrows:
-        # fall back to a whole-block halo when the small block can't tile
         hrows = tile_rows * deci
         in_rows = (g + 1) * tile_rows * deci
-        xp = jnp.pad(x, (left, in_rows * 128 - n - left))
-        x2d = xp.reshape(in_rows, 128)
+    xp = jnp.pad(x, (left, in_rows * 128 - n - left))
+    return xp.reshape(in_rows, 128), hrows, g, m
+
+
+def _banded_call(x, w, deci, nq, wlen, tile_rows, kern):
+    x2d, hrows, g, m = _banded_tiling(x, deci, nq, wlen, tile_rows)
     hblocks_per_tile = tile_rows * deci // hrows
     out = pl.pallas_call(
         kern,
@@ -259,3 +270,171 @@ def pallas_fir_decimate(x, taps, deci: int, tile_rows: int | None = None):
         out_specs=pl.BlockSpec((tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )(x2d, x2d, jnp.asarray(w))
     return out.reshape(-1)[:m]
+
+
+# ----------------------------------------------------- fused FM chain
+
+
+def _fm_chain_kernel(off_ref, xr_ref, xrh_ref, xi_ref, xih_ref, w_ref,
+                     out_ref, *, deci, nq, rows, gain, split3):
+    step = deci * 128
+
+    def fir(xm_ref, xh_ref):
+        X = jnp.concatenate([xm_ref[:], xh_ref[: nq * deci]], axis=0)
+        # input offset (SMEM scalar, normally 0): DC correction, and the
+        # bench hook — a timing loop varies it per iteration so XLA can't
+        # hoist the call, without materializing shifted input copies in HBM
+        X = X + off_ref[0]
+        X2 = X.reshape(rows + nq, step)
+        acc = jnp.zeros((rows, 128), jnp.float32)
+        for q in range(nq):
+            A = X2[q : q + rows]
+            W = w_ref[q * step : (q + 1) * step]
+            if split3:
+                # manual hi/lo bf16 split: 3 single-pass MXU dots instead
+                # of HIGHEST's 4 (Mosaic has no HIGH) — ~1.2x faster,
+                # worst-case demod error ~5e-3 rad (atan2 amplification
+                # at near-zero filtered samples)
+                Ah = A.astype(jnp.bfloat16)
+                Al = (A - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
+                Wh = W.astype(jnp.bfloat16)
+                Wl = (W - Wh.astype(jnp.float32)).astype(jnp.bfloat16)
+                acc = acc + jnp.dot(Ah, Wh, preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(Ah, Wl, preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(Al, Wh, preferred_element_type=jnp.float32)
+            else:
+                acc = acc + jnp.dot(
+                    A,
+                    W,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+        return acc
+
+    yr = fir(xr_ref, xrh_ref)
+    yi = fir(xi_ref, xih_ref)
+    # prev filtered sample within the tile (row-major flat order): lane
+    # o-1 of the same row, or lane 127 of the previous row — built from
+    # single-step lane/sublane rotations (Mosaic has no narrow-column
+    # concat).  The tile's first element wraps garbage; the caller
+    # recomputes those g-1 boundary outputs in XLA (they're two tiny
+    # dot products each).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+
+    def prev_of(y):
+        rot = pltpu.roll(y, 1, 1)
+        return jnp.where(lane == 0, pltpu.roll(rot, 1, 0), rot)
+
+    pr = prev_of(yr)
+    pi = prev_of(yi)
+    dr = pr * yr + pi * yi
+    di = pr * yi - pi * yr
+    out_ref[:] = jnp.float32(gain) * fast_atan2(di, dr)
+
+
+def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
+                    tile_rows: int | None = None, offset=0.0,
+                    precision: str = "highest"):
+    """The whole FM receive chain in ONE memory pass: banded MXU FIR
+    low-pass + decimate on both I/Q planes, then the quadrature
+    discriminator with polynomial atan2 — all in VMEM per tile.
+
+    HBM traffic is the two f32 input planes read once and the f32 audio
+    written once (~9 bytes per input sample at deci=4), vs ~3x that for
+    the separate-kernels path (plane extraction copies + the filtered
+    complex stream round-tripping through HBM between filter and demod).
+
+    Planar f32 inputs (the natural SDR wire format; also what the axon
+    tunnel requires).  Real taps only — callers with complex taps split
+    them.  Output: m-1 samples where m = ceil(n/deci), equal to
+    ``quadrature_demod(fir_decimate(x), gain)``.
+    """
+    taps = np.asarray(taps)
+    if np.iscomplexobj(taps):
+        if np.any(np.imag(taps)):
+            raise ValueError("pallas_fm_chain needs real taps")
+        taps = np.real(taps)
+    taps = taps.astype(np.float32)
+    xr = jnp.asarray(xr, jnp.float32)
+    xi = jnp.asarray(xi, jnp.float32)
+    n = xr.shape[0]
+    off = jnp.asarray(offset, jnp.float32).reshape(1)
+    if not _on_tpu():
+        y = jax.lax.complex(
+            pallas_fir_decimate(xr + off[0], taps, deci),
+            pallas_fir_decimate(xi + off[0], taps, deci),
+        )
+        d = jnp.conj(y[:-1]) * y[1:]
+        return jnp.float32(gain) * fast_atan2(
+            jnp.imag(d).astype(jnp.float32), jnp.real(d).astype(jnp.float32)
+        )
+
+    wlen, nq, w = _fir_band_weights(taps, deci)
+    if tile_rows is None:
+        # largest tile that fits the 16 MB scoped-VMEM budget with double
+        # buffering (measured: 1024 rows ~ 10 MB live, 2048 OOMs; bigger
+        # tiles amortize the grid pipeline ~1.6x over 512)
+        tile_rows = 1024
+    tile_rows = max(tile_rows, nq)
+    tile_rows += (-tile_rows) % 16
+    xr2d, hrows, g, m = _banded_tiling(xr, deci, nq, wlen, tile_rows)
+    xi2d, _, _, _ = _banded_tiling(xi, deci, nq, wlen, tile_rows)
+    hblocks_per_tile = tile_rows * deci // hrows
+    kern = functools.partial(
+        _fm_chain_kernel, deci=deci, nq=nq, rows=tile_rows, gain=gain,
+        split3=(precision == "split3"),
+    )
+    main_spec = pl.BlockSpec(
+        (tile_rows * deci, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    halo_spec = pl.BlockSpec(
+        (hrows, 128), lambda i: ((i + 1) * hblocks_per_tile, 0),
+        memory_space=pltpu.VMEM,
+    )
+    audio = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((g * tile_rows, 128), jnp.float32),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            main_spec,
+            halo_spec,
+            main_spec,
+            halo_spec,
+            pl.BlockSpec(
+                (nq * deci * 128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )(off, xr2d, xr2d, xi2d, xi2d, jnp.asarray(w))
+    audio = audio.reshape(-1)
+    if g > 1:
+        # Cross-tile boundary outputs (one per tile seam): recompute the
+        # two filtered samples y[t0-1], y[t0] straight from the input —
+        # a (2(g-1), ntaps) @ (ntaps,) dot, negligible next to the kernel.
+        ntaps = len(taps)
+        trev = jnp.asarray(taps[::-1].copy())
+        seams = np.arange(1, g) * (tile_rows * 128)
+        starts = np.concatenate([(seams - 1) * deci, seams * deci]) - (ntaps - 1)
+        # y[t] = dot(x[t*deci-ntaps+1 : t*deci+1], reversed taps).  Seam
+        # windows are interior (no zero history needed) and read straight
+        # from the unpadded planes — padding the full plane here would
+        # materialize a second copy of the input just for these slices.
+        win_r = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(xr, int(s), ntaps) for s in starts]
+        )
+        win_i = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(xi, int(s), ntaps) for s in starts]
+        )
+        yb_r = (win_r + off[0]) @ trev
+        yb_i = (win_i + off[0]) @ trev
+        k = len(seams)
+        yrl, yil = yb_r[:k], yb_i[:k]      # y[t0-1] per seam
+        yrf, yif = yb_r[k:], yb_i[k:]      # y[t0] per seam
+        dr = yrl * yrf + yil * yif
+        di = yrl * yif - yil * yrf
+        vals = jnp.float32(gain) * fast_atan2(di, dr)
+        audio = audio.at[jnp.asarray(seams)].set(vals)
+    return audio[1:m]
