@@ -83,7 +83,7 @@ class FftFilterFloat(Block):
         self.fft_size = fft_size
 
     def apply(self, x):
-        return ops.fft_filter_float(x, self.taps, self.fft_size)
+        return ops.filter_float(x, self.taps, self.fft_size)
 
     def init_state(self):
         return jnp.zeros(len(self.taps) - 1, jnp.float32)
@@ -91,7 +91,7 @@ class FftFilterFloat(Block):
     def apply_chunk(self, state, x):
         ntaps = len(self.taps)
         ext = jnp.concatenate([jnp.asarray(state, jnp.float32), jnp.asarray(x, jnp.float32)])
-        y = ops.fft_filter_float(ext, self.taps, self.fft_size)[ntaps - 1 :]
+        y = ops.filter_float(ext, self.taps, self.fft_size)[ntaps - 1 :]
         return ext[-(ntaps - 1) :], y
 
 

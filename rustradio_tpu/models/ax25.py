@@ -84,7 +84,7 @@ def bell202_demod(audio, samp_rate: float):
     center = 1700.0  # (1200 + 2200) / 2
     analytic = ops.hilbert_transform(audio, 65, "hamming")
     fm = ops.quadrature_demod(analytic, 1.0)
-    filt = ops.fft_filter_float(fm, lp)
+    filt = ops.filter_float(fm, lp)
     return ops.add_const(filt, -jnp.float32(2.0 * np.pi * center / samp_rate))
 
 
@@ -190,7 +190,7 @@ def _afsk_discriminator(fm, samp_rate, cutoff):
     analytic = ops.hilbert_transform(fm, 65, "hamming")
     afsk = ops.quadrature_demod(analytic, 1.0)
     lp = tapgen.low_pass(samp_rate, cutoff, 100.0, "hamming")
-    return ops.fft_filter_float(afsk, lp)
+    return ops.filter_float(afsk, lp)
 
 
 def iq_front_end(iq, samp_rate: float, new_rate: float = 50_000.0, fast_fm: bool = False):

@@ -100,7 +100,7 @@ def _am_rx(iq, samp_rate, audio_rate, volume):
     x = ops.fft_filter(iq, lp)
     env = jnp.abs(x)
     lp2 = tapgen.low_pass(samp_rate, audio_rate, 500.0, "hamming")
-    audio = ops.fft_filter_float(env, lp2)
+    audio = ops.filter_float(env, lp2)
     audio = ops.rational_resampler(audio, int(audio_rate), int(samp_rate))
     return audio * jnp.float32(volume)
 

