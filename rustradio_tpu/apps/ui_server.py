@@ -39,9 +39,22 @@ def iq_chunks(path: str, fmt: str, chunk: int, loop: bool):
             return
 
 
+def sdr_chunks(src, chunk: int):
+    """Endless chunks from a live hw.SdrSource (commands apply between
+    reads, so dashboard retunes take effect on the next chunk)."""
+    off = 0
+    while True:
+        data = np.asarray(src.emit(off, chunk))
+        if len(data) == 0:
+            return
+        off += len(data)
+        yield data
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("-r", "--read", required=True, help="capture file")
+    p.add_argument("-r", "--read", required=True,
+                   help="capture file, or 'sim' for the live loopback SDR")
     p.add_argument("-f", "--format", choices=["c32", "u8", "au"], default="c32")
     p.add_argument("--sample_rate", type=parse_frequency, required=True)
     p.add_argument("--freq", type=parse_frequency, default=0.0, help="center frequency label")
@@ -50,17 +63,43 @@ def main(argv=None) -> int:
     p.add_argument("--port", type=int, default=8450)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--once", action="store_true", help="don't loop the capture")
+    p.add_argument("--sim_tone", action="append", default=[],
+                   help="sim mode: FREQ:AMP[:AUDIO:DEV] RF tone (repeatable)")
     opt = p.parse_args(argv)
 
     chunk = max(int(opt.sample_rate / 4), opt.fft_size)
+    control = None
+    if opt.read == "sim":
+        from ..hw import SdrSource, SimDriver
+        from ..hw.driver import parse_sim_tone
+
+        center = float(opt.freq) or 100e6
+        tones = [parse_sim_tone(s) for s in opt.sim_tone] or [
+            (center + 0.1 * opt.sample_rate, 0.6),
+            (center - 0.25 * opt.sample_rate, 0.3, 1_000.0, 3_000.0),
+        ]
+        drv = SimDriver(
+            frequency=center,
+            sample_rate=float(opt.sample_rate),
+            gain=1.0,
+            tones=[t for t in tones if len(t) == 2],
+            fm_tones=[t for t in tones if len(t) == 4],
+            noise=0.02,
+        )
+        src = SdrSource(drv)
+        control = src.control()
+        chunks = sdr_chunks(src, chunk)
+        opt.freq = center
+    else:
+        chunks = iq_chunks(opt.read, opt.format, chunk, not opt.once)
     feed = SpectrumFeed(
-        iq_chunks(opt.read, opt.format, chunk, not opt.once),
+        chunks,
         samp_rate=float(opt.sample_rate),
         fft_size=opt.fft_size,
         center_freq=float(opt.freq),
         fps=opt.fps,
     )
-    srv = UiServer(feed, host=opt.host, port=opt.port).start()
+    srv = UiServer(feed, host=opt.host, port=opt.port, control=control).start()
     print(f"serving on {srv.address}", file=sys.stderr)
     try:
         while feed.is_alive():

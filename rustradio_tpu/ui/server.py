@@ -99,6 +99,7 @@ class SpectrumFeed(threading.Thread):
 
 class _Handler(BaseHTTPRequestHandler):
     feed: SpectrumFeed = None  # set by UiServer
+    control = None  # optional hw.SdrControl for live retuning
 
     def log_message(self, *a):  # quiet
         pass
@@ -124,8 +125,31 @@ class _Handler(BaseHTTPRequestHandler):
                 "center_freq": feed.center_freq,
                 "history": feed.rows.maxlen,
                 "fps": feed.fps,
+                "control": self.control is not None,
             }
             return self._send(200, json.dumps(meta).encode(), "application/json")
+        if url.path == "/api/retune":
+            # live command channel into the SDR driver (hw.SdrControl):
+            # the dashboard's retune form lands here
+            if self.control is None:
+                return self._send(400, b"no control plane", "text/plain")
+            q = parse_qs(url.query)
+            applied = {}
+            if "frequency" in q:
+                f = float(q["frequency"][0])
+                self.control.set_frequency(f)
+                feed.center_freq = f  # relabel the axis
+                applied["frequency"] = f
+            if "gain" in q:
+                g = float(q["gain"][0])
+                self.control.set_gain(g)
+                applied["gain"] = g
+            if "sample_rate" in q:
+                r = float(q["sample_rate"][0])
+                self.control.set_sample_rate(r)
+                feed.samp_rate = r
+                applied["sample_rate"] = r
+            return self._send(200, json.dumps(applied).encode(), "application/json")
         if url.path == "/api/frames":
             q = parse_qs(url.query)
             since = int(q.get("since", ["0"])[0])
@@ -156,8 +180,9 @@ class _Handler(BaseHTTPRequestHandler):
 class UiServer:
     """Serves the dashboard for one SpectrumFeed."""
 
-    def __init__(self, feed: SpectrumFeed, host: str = "127.0.0.1", port: int = 0):
-        handler = type("Handler", (_Handler,), {"feed": feed})
+    def __init__(self, feed: SpectrumFeed, host: str = "127.0.0.1", port: int = 0,
+                 control=None):
+        handler = type("Handler", (_Handler,), {"feed": feed, "control": control})
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.feed = feed
         self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)

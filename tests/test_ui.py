@@ -50,3 +50,41 @@ def test_ui_server_endpoints():
         assert stats["text"] == "block stats here"
     finally:
         srv.stop()
+
+
+def test_ui_live_sdr_retune():
+    # live SdrSource feed + the /api/retune control endpoint: a dashboard
+    # retune reaches the driver and relabels the axis
+    import time
+
+    from rustradio_tpu.hw import SdrSource, SimDriver
+    from rustradio_tpu.apps.ui_server import sdr_chunks
+
+    fs = 100_000.0
+    # finite sim stream so the feed thread exits before the interpreter does
+    drv = SimDriver(frequency=1e6, sample_rate=fs, gain=1.0,
+                    tones=[(1e6 + 10_000.0, 1.0)], total_samples=2_000_000)
+    src = SdrSource(drv)
+    feed = SpectrumFeed(
+        sdr_chunks(src, 25_000), samp_rate=fs, fft_size=256, fps=20.0,
+        realtime=False,
+    )
+    srv = UiServer(feed, control=src.control()).start()
+    try:
+        meta = json.loads(_get(srv.address + "/api/meta"))
+        assert meta["control"] is True
+        applied = json.loads(
+            _get(srv.address + "/api/retune?frequency=2000000&gain=0.5")
+        )
+        assert applied == {"frequency": 2000000.0, "gain": 0.5}
+        # the command drains at the source's next emit
+        deadline = time.time() + 10
+        while time.time() < deadline and drv.frequency != 2_000_000.0:
+            time.sleep(0.05)
+        assert drv.frequency == 2_000_000.0
+        assert drv.gain == 0.5
+        meta = json.loads(_get(srv.address + "/api/meta"))
+        assert meta["center_freq"] == 2_000_000.0
+    finally:
+        feed.done = True
+        srv.stop()
