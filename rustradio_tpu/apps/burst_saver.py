@@ -30,7 +30,7 @@ from ..io import rawfile
 )
 def _front(iq, samp_rate, new_rate, iir_alpha, delay_n):
     lp = tapgen.low_pass_complex(samp_rate, 20_000.0, 100.0, "hamming")
-    x = ops.fft_filter(iq, lp)
+    x = ops.filter_complex(iq, lp)
     x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
     power = ops.single_pole_iir(ops.complex_to_mag2(x), iir_alpha)
     # The reference delays the data path so the burst start isn't clipped.

@@ -45,7 +45,7 @@ def downsample_u8(raw_u8: np.ndarray, sample_rate: float, downsample_rate: float
     @functools.partial(jax.jit, static_argnames=("sr", "dr"))
     def chain(x, sr, dr):
         lp = tapgen.low_pass_complex(sr, dr / 2.0, dr / 10.0, "hamming")
-        y = ops.fft_filter(x, lp)
+        y = ops.filter_complex(x, lp)
         return ops.rational_resampler(y, int(dr), int(sr))
 
     x = chain(stage_iq(iq), float(sample_rate), float(downsample_rate))

@@ -75,7 +75,7 @@ def main(argv=None) -> int:
     @functools.partial(jax.jit, static_argnames=("sr", "ar", "cutoff", "dev"))
     def chain(x, sr, ar, cutoff, dev):
         lp = tapgen.low_pass_complex(sr, cutoff, cutoff / 2, "hamming")
-        y = ops.fft_filter(x, lp)
+        y = ops.filter_complex(x, lp)
         demod = ops.quadrature_demod(y, sr / (2 * np.pi * dev))
         return ops.rational_resampler(demod, int(ar), int(sr))
 

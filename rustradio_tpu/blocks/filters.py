@@ -63,7 +63,7 @@ class FftFilter(Block):
         self.fft_size = fft_size
 
     def apply(self, x):
-        return ops.fft_filter(x, self.taps, self.fft_size)
+        return ops.filter_complex(x, self.taps, self.fft_size)
 
     def init_state(self):
         return jnp.zeros(len(self.taps) - 1, jnp.complex64)
@@ -71,7 +71,7 @@ class FftFilter(Block):
     def apply_chunk(self, state, x):
         ntaps = len(self.taps)
         ext = jnp.concatenate([jnp.asarray(state, jnp.complex64), jnp.asarray(x, jnp.complex64)])
-        y = ops.fft_filter(ext, self.taps, self.fft_size)[ntaps - 1 :]
+        y = ops.filter_complex(ext, self.taps, self.fft_size)[ntaps - 1 :]
         return ext[-(ntaps - 1) :], y
 
 

@@ -163,7 +163,7 @@ def ax25_1200_rx(
 def _channel_fm(iq, samp_rate, new_rate, cutoff, twidth, fast_fm=False):
     """Channel low-pass -> resample -> FM demod, fused in one jit."""
     lp = tapgen.low_pass_complex(samp_rate, cutoff, twidth, "hamming")
-    x = ops.fft_filter(iq, lp)
+    x = ops.filter_complex(iq, lp)
     x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
     if fast_fm:
         return ops.fast_fm(x)
@@ -177,7 +177,7 @@ def _burst_front(iq, samp_rate, new_rate, cutoff, iir_alpha):
     """Burst front-end: channel filter + resample, emitting the power
     envelope (for the burst gate) and the FM discriminator output."""
     lp = tapgen.low_pass_complex(samp_rate, cutoff, 100.0, "hamming")
-    x = ops.fft_filter(iq, lp)
+    x = ops.filter_complex(iq, lp)
     x = ops.rational_resampler(x, int(new_rate), int(samp_rate))
     power = ops.single_pole_iir(ops.complex_to_mag2(x), iir_alpha)
     return power, ops.quadrature_demod(x, 1.0)
@@ -335,7 +335,7 @@ def _g3ruh_shape(pn, sample_rate, if_rate, amplitude):
     iq = iq * jnp.float32(amplitude)
     iq = ops.rational_resampler(iq, int(sample_rate), int(if_rate))
     lp = tapgen.low_pass_complex(sample_rate, 8_800.0, 1_000.0, "hamming")
-    return ops.fft_filter(iq, lp)
+    return ops.filter_complex(iq, lp)
 
 
 def ax25_9600_wpcr_rx(

@@ -97,7 +97,7 @@ def fm_demod_chain_planar(
 @functools.partial(jax.jit, static_argnames=("samp_rate", "audio_rate", "volume"))
 def _am_rx(iq, samp_rate, audio_rate, volume):
     lp = tapgen.low_pass_complex(samp_rate, 12_500.0, 10_000.0, "hamming")
-    x = ops.fft_filter(iq, lp)
+    x = ops.filter_complex(iq, lp)
     env = jnp.abs(x)
     lp2 = tapgen.low_pass(samp_rate, audio_rate, 500.0, "hamming")
     audio = ops.filter_float(env, lp2)
@@ -133,7 +133,7 @@ def wbfm_rx(
 )
 def _wbfm_rx(iq, samp_rate, audio_rate, channel_width):
     lp = tapgen.low_pass_complex(samp_rate, channel_width, channel_width / 4, "hamming")
-    x = ops.fft_filter(iq, lp)
+    x = ops.filter_complex(iq, lp)
     quad_rate = samp_rate
     demod = ops.quadrature_demod(x, float(quad_rate / (2 * np.pi * 75_000.0)))
     audio = ops.rational_resampler(demod, int(audio_rate), int(samp_rate))

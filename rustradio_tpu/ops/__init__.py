@@ -23,7 +23,7 @@ from .elementwise import (
     xor_const,
 )
 from .fir import fir_filter, fir_filter_full, fir_filter_translating
-from .fft_filter import fft_filter, fft_filter_float, filter_float
+from .fft_filter import fft_filter, fft_filter_float, filter_complex, filter_float
 from .resampler import rational_resampler, resampler_indices
 from .demod import fast_fm, quadrature_demod
 from .hilbert import hilbert_transform

@@ -15,6 +15,7 @@ batched kernel.  The fft_size is auto-tuned to a few times the tap count
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -142,6 +143,33 @@ def filter_float(x, taps, fft_size: int | None = None):
     ):
         return pallas_fir_decimate(x, taps, 1)
     return fft_filter_float(x, taps, fft_size)
+
+
+def filter_complex(x, taps, fft_size: int | None = None):
+    """Fastest complex-stream filter for the backend, same semantics as
+    ``fft_filter`` (zero history).
+
+    Filter designs are usually real-coefficient (low_pass_complex returns
+    real taps cast to complex); on TPU those run as TWO stride-1 banded
+    MXU passes over the I/Q planes for up to ~4k taps.  Genuinely
+    complex taps (e.g. pre-rotated translating filters) and long designs
+    use overlap-save.
+    """
+    taps = np.asarray(taps)
+    from .pallas_kernels import _on_tpu, pallas_fir_decimate
+
+    if (
+        _on_tpu()
+        and len(taps) <= 4096
+        and (not np.iscomplexobj(taps) or not np.any(np.imag(taps)))
+    ):
+        tr = np.real(taps).astype(np.float32)
+        x = jnp.asarray(x, jnp.complex64)
+        return jax.lax.complex(
+            pallas_fir_decimate(jnp.real(x), tr, 1),
+            pallas_fir_decimate(jnp.imag(x), tr, 1),
+        )
+    return fft_filter(x, taps, fft_size)
 
 
 def fft_filter_float(x, taps, fft_size: int | None = None):
