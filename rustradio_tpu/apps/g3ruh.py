@@ -36,15 +36,15 @@ def kiss_encode_frame(frame: np.ndarray) -> bytes:
 
 
 def kiss_decode_stream(data: bytes) -> list[np.ndarray]:
-    """Split a KISS byte stream on FEND and unescape each frame."""
-    frames = []
-    for chunk in data.split(bytes([KISS_FEND])):
-        if not chunk:
-            continue
-        wrapped = bytes([KISS_FEND]) + chunk + bytes([KISS_FEND])
-        for pdu in KissDecode().apply([Pdu(np.frombuffer(wrapped, np.uint8), [])]):
-            frames.append(np.asarray(pdu.data, np.uint8))
-    return frames
+    """KISS byte stream -> frames, via the parity block pair
+    (KissFrame accumulates between FENDs, KissDecode unescapes —
+    reference src/kiss.rs)."""
+    from ..blocks.packets import KissFrame
+
+    # KissFrame expects a leading FEND sync; sender streams start with one
+    stream = np.frombuffer(bytes([KISS_FEND]) + data, np.uint8)
+    frames = KissFrame().apply(stream)
+    return [np.asarray(p.data, np.uint8) for p in KissDecode().apply(frames)]
 
 
 def main(argv=None) -> int:
