@@ -147,3 +147,26 @@ def test_kiss_frame_drops_oversized():
     kf = blocks.KissFrame(max_len=10_000)
     out = kf.apply(big)
     assert [bytes(np.asarray(p.data)) for p in out] == [bytes([2, 3])]
+
+
+def test_stream_to_pdu_checkpoint_mid_burst(tmp_path):
+    # a checkpoint taken INSIDE an open burst must resume to the same PDU
+    ck = str(tmp_path / "ck.pkl")
+    rng = np.random.RandomState(0)
+    data = rng.randn(1000).astype(np.float32)
+    trigger = np.zeros(1000, np.float32)
+    trigger[100:400] = 1.0  # spans the 256-sample checkpoint boundary
+
+    g1, s1 = _burst_graph(data, trigger, tail=5)
+    g1.run_stream(chunk_size=128)
+    want = [np.asarray(p.data) for p in s1.pdus()]
+    assert len(want) == 1
+
+    g2, s2 = _burst_graph(data, trigger, tail=5)
+    g2.run_stream(chunk_size=128, max_chunks=2, checkpoint_path=ck,
+                  checkpoint_every=2)
+    g3, s3 = _burst_graph(data, trigger, tail=5)
+    g3.run_stream(chunk_size=128, resume_from=ck)
+    got = [np.asarray(p.data) for p in s2.pdus() + s3.pdus()]
+    assert len(got) == 1
+    np.testing.assert_array_equal(want[0], got[0])
