@@ -97,7 +97,7 @@ def sharded_bell202_demod(audio, samp_rate: float, mesh, axis: str = "time"):
     chain except the final global sample (the demod's missing lookahead).
     """
     from .. import taps as tapgen
-    from ..ops.fft_filter import fft_filter_float as _fft_filter_float
+    from ..ops.fft_filter import filter_float as _filter_float
 
     hil = np.asarray(tapgen.hilbert(65, "hamming"))
     lp = np.asarray(tapgen.low_pass(samp_rate, 1100.0, 100.0, "hamming"))
@@ -120,9 +120,10 @@ def sharded_bell202_demod(audio, samp_rate: float, mesh, axis: str = "time"):
         ext2 = halo_exchange_right(analytic, 1, axis, fill=0)
         d = jnp.conj(ext2[:-1]) * ext2[1:]
         fm = jnp.arctan2(jnp.imag(d).astype(jnp.float32), jnp.real(d).astype(jnp.float32))
-        # 1100 Hz channel low-pass (zero history at global stream start)
+        # 1100 Hz channel low-pass (zero history at global stream start);
+        # banded MXU kernel on TPU, overlap-save elsewhere
         ext3 = halo_exchange_left(fm, nl - 1, axis)
-        y = _fft_filter_float(ext3, lp)
+        y = _filter_float(ext3, lp)
         y = jax.lax.dynamic_slice_in_dim(y, nl - 1, ln)
         return y + center
 
