@@ -8,8 +8,8 @@ import pytest
 APPS = [
     "am_decode", "ax25_1200_rx", "ax25_1200_wpcr", "ax25_9600_rx",
     "ax25_9600_wpcr", "bell202_tx", "burst_saver", "capture", "fm_tx",
-    "g3ruh", "il2p_1200_rx", "morse_beacon", "rtl_data_stream", "rtl_fm",
-    "scanner", "spectrum", "tone", "ui_server",
+    "g3ruh", "il2p_1200_rx", "morse_beacon", "pw_tone", "rtl_data_stream", "rtl_fm",
+    "scanner", "soapy_fm", "spectrum", "tone", "ui_server",
 ]
 
 

@@ -156,3 +156,33 @@ def test_scanner_file_mode_demods_channel(tone_c32, tmp_path, capsys):
                          "--top", "3", "--demod", "7", "-o", out]) == 0
     assert "chan" in capsys.readouterr().out
     assert os.path.getsize(out) > 0
+
+
+def test_soapy_fm_sim(tmp_path, capsys):
+    from rustradio_tpu.apps import soapy_fm
+    from rustradio_tpu.io import au as au_io
+
+    out = str(tmp_path / "fm.au")
+    assert soapy_fm.main(["-d", "sim", "--freq", "100M", "-o", out,
+                          "--sample_rate", "256k", "--audio_rate", "16k",
+                          "--seconds", "0.5"]) == 0
+    audio, rate = au_io.au_decode(open(out, "rb").read(), 16_000)
+    assert len(audio) > 4_000
+    # the sim FM carrier is modulated with a 1 kHz tone
+    spec = np.abs(np.fft.rfft(audio[1000:5096]))
+    peak_hz = np.argmax(spec[10:]) + 10
+    peak_hz = peak_hz * 16_000 / 4096
+    assert abs(peak_hz - 1_000.0) < 50
+
+
+def test_pw_tone_file_backend(tmp_path):
+    from rustradio_tpu.apps import pw_tone
+
+    out = str(tmp_path / "tone.f32")
+    assert pw_tone.main(["--freq", "2k", "--audio_rate", "16k",
+                         "--seconds", "0.5", "--backend", "file",
+                         "--out", out]) == 0
+    audio = np.fromfile(out, "<f4")
+    assert len(audio) == 8_000
+    spec = np.abs(np.fft.rfft(audio))
+    assert abs(np.argmax(spec) * 16_000 / len(audio) - 2_000.0) < 20
