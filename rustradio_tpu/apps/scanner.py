@@ -32,6 +32,11 @@ def main(argv=None) -> int:
     p.add_argument("-n", "--channels", type=int, default=256)
     p.add_argument("--top", type=int, default=10, help="channels to report")
     p.add_argument("--demod", type=int, help="FM-demod this channel index")
+    p.add_argument("--decode", action="store_true",
+                   help="decode AX.25 on every active channel concurrently "
+                        "(one vmapped clock-recovery scan for the whole band)")
+    p.add_argument("--max_active", type=int, default=8,
+                   help="--decode: channel bank size")
     p.add_argument("-o", "--out", help="write demodulated channel audio (.f32)")
     p.add_argument("--frequency", type=parse_frequency, default=100_000_000.0,
                    help="sim mode: tuner center frequency")
@@ -65,6 +70,24 @@ def main(argv=None) -> int:
         iq = np.asarray(src.emit(0, int(opt.seconds * opt.sample_rate)))
     else:
         iq = rawfile.read_samples(opt.read, "c32")
+
+    if opt.decode:
+        from ..models.multichannel import decode_band_ax25
+
+        results = decode_band_ax25(
+            iq, float(opt.sample_rate), n_channels=opt.channels,
+            max_active=opt.max_active,
+        )
+        for r in results:
+            for pkt in r.packets:
+                route = ">".join(pkt.addresses[:2][::-1]) if pkt.addresses else "?"
+                print(f"ch{r.channel:4d} {r.freq/1e3:+9.1f}k  {route}: "
+                      f"{pkt.info[:80]!r}")
+        total = sum(len(r.packets) for r in results)
+        print(f"decoded {total} packets on {len(results)} channels",
+              file=sys.stderr)
+        return 0
+
     M = opt.channels
     taps = channelizer_taps(M, 8)
     fs = float(opt.sample_rate)

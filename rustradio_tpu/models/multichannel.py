@@ -1,0 +1,134 @@
+"""Wideband multi-channel AX.25 decoding — the channel-parallel receiver.
+
+No reference equivalent (its graphs are single-chain; SURVEY §2.6 item 6
+names channel parallelism as the dimension the declarative model adds):
+one wideband capture is polyphase-channelized on the MXU, the per-channel
+FM + AFSK demod bank runs as one batched program, and clock recovery for
+ALL channels advances in a single vmapped ``lax.scan`` — C sequential
+recurrences ride the VPU lanes for the wall-clock price of one.  Only the
+final per-channel HDLC byte assembly runs on host (native C++ when
+built).
+
+This is what "scan the band and decode every APRS channel at once" looks
+like TPU-first.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ops
+from .. import taps as tapgen
+from ..dtypes import stage_iq
+from ..parallel.channelizer import channelizer_taps, pfb_channelize
+from .ax25 import Ax25Packet
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sps", "max_deviation", "clock_taps")
+)
+def recover_symbols_batch(xs, sps: float, max_deviation: float = 0.5,
+                          clock_taps=(0.5, 0.5)):
+    """Vmapped SymbolSync over a (C, N) batch of NRZ streams.
+
+    Returns (values, mask, clocks), each (C, N) — all C sequential
+    clock-recovery recurrences advance in lockstep in ONE scan.
+    """
+    from ..ops.symbol_sync import symbol_sync
+
+    f = jax.vmap(lambda x: symbol_sync(x, sps, max_deviation, clock_taps)[0])
+    return f(jnp.asarray(xs, jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("chan_rate",))
+def _afsk_bank(channels, chan_rate: float):
+    """(C, N) complex channel streams -> (C, N-1) Bell-202 NRZ floats.
+
+    FM discriminator + vmapped Hilbert/audio filters per channel — one
+    compiled program for the whole bank.
+    """
+    from .ax25 import bell202_demod
+
+    d = jnp.conj(channels[:, :-1]) * channels[:, 1:]
+    fm = jnp.arctan2(
+        jnp.imag(d).astype(jnp.float32), jnp.real(d).astype(jnp.float32)
+    )
+    return jax.vmap(lambda a: bell202_demod(a, chan_rate))(fm)
+
+
+@dataclasses.dataclass
+class ChannelDecode:
+    channel: int
+    freq: float  # channel center relative to capture center, Hz
+    packets: list
+
+
+def decode_band_ax25(
+    iq,
+    samp_rate: float,
+    n_channels: int = 64,
+    baud: float = 1200.0,
+    max_active: int = 8,
+    power_floor_db: float = -40.0,
+    fix_bits: bool = False,
+) -> list[ChannelDecode]:
+    """Channelize a wideband capture and decode AX.25 on every active
+    channel concurrently.
+
+    ``max_active`` bounds the decode bank (static shapes); channels are
+    picked by power above ``power_floor_db`` relative to the strongest.
+    The per-channel rate samp_rate/n_channels must give > 2 samples per
+    symbol at ``baud``.
+    """
+    M = int(n_channels)
+    fs = float(samp_rate)
+    chan_rate = fs / M
+    sps = chan_rate / float(baud)
+    if sps <= 2.0:
+        raise ValueError(
+            f"{chan_rate:.0f} Hz per channel gives only {sps:.1f} samples/"
+            f"symbol at {baud:.0f} bd; use fewer channels"
+        )
+
+    taps = channelizer_taps(M, 8)
+
+    @jax.jit
+    def split(x):
+        ch = pfb_channelize(x, taps, M)  # (frames, M)
+        power = jnp.mean(jnp.real(ch) ** 2 + jnp.imag(ch) ** 2, axis=0)
+        return ch, power
+
+    ch, power = split(stage_iq(iq))
+    power = np.asarray(power)
+    order = np.argsort(power)[::-1]
+    floor = power[order[0]] * 10.0 ** (power_floor_db / 10.0)
+    active = [int(k) for k in order[:max_active] if power[k] > floor]
+    if not active:
+        return []
+
+    bank = jnp.transpose(ch[:, np.asarray(active)])  # (C, frames)
+    nrz = _afsk_bank(bank, chan_rate)
+    vals, mask, _ = recover_symbols_batch(np.asarray(nrz), sps)
+    vals, mask = np.asarray(vals), np.asarray(mask)
+
+    out: list[ChannelDecode] = []
+    for row, k in enumerate(active):
+        syms = vals[row][mask[row]]
+        bits = np.asarray(ops.nrzi_decode(ops.binary_slicer(jnp.asarray(syms))))
+        pkts, _ = ops.hdlc_deframe(bits, 10, 1500, fix_bits=fix_bits)
+        if not pkts:
+            continue
+        f = (k if k < M / 2 else k - M) * fs / M
+        out.append(
+            ChannelDecode(
+                channel=k,
+                freq=f,
+                packets=[Ax25Packet(np.asarray(d), int(p)) for d, p in pkts],
+            )
+        )
+    return out

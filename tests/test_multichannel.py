@@ -1,0 +1,97 @@
+"""Channel-parallel AX.25: several simultaneous AFSK transmissions in one
+wideband capture, decoded concurrently (one vmapped clock-recovery scan)."""
+
+import numpy as np
+import pytest
+
+from rustradio_tpu import ops
+from rustradio_tpu.models.multichannel import decode_band_ax25, recover_symbols_batch
+
+
+def _afsk_audio(payload: bytes, fs: float, baud=1200.0, amp=0.8, lead=400):
+    framed = np.asarray(ops.hdlc_frame(ops.fcs_add(np.frombuffer(payload, np.uint8))))
+    line = (1 + np.cumsum(1 - framed)) % 2
+    sps = fs / baud
+    n = int(len(line) * sps)
+    bit_at = np.minimum((np.arange(n) / sps).astype(int), len(line) - 1)
+    phase = np.cumsum(2 * np.pi * np.where(line[bit_at] == 1, 1200.0, 2200.0) / fs)
+    z = np.zeros(lead, np.float32)
+    return np.concatenate([z, (amp * np.sin(phase)).astype(np.float32), z])
+
+
+def _fm_upconvert(audio, fs_audio, fs_rf, f_center, deviation=3_000.0):
+    # resample audio to RF rate, FM-modulate, shift to f_center
+    up = np.asarray(
+        ops.rational_resampler(np.asarray(audio, np.float32), int(fs_rf), int(fs_audio))
+    )
+    phase = 2 * np.pi * np.cumsum(deviation * up) / fs_rf
+    t = np.arange(len(up)) / fs_rf
+    return (np.exp(1j * (phase + 2 * np.pi * f_center * t))).astype(np.complex64)
+
+
+def test_recover_symbols_batch_matches_single():
+    rng = np.random.RandomState(0)
+    bits = rng.randint(0, 2, (3, 80)) * 2.0 - 1.0
+    xs = np.repeat(bits, 10, axis=1).astype(np.float32)
+    xs += rng.randn(*xs.shape).astype(np.float32) * 0.05
+    vals, mask, _ = recover_symbols_batch(xs, 10.0)
+    for c in range(3):
+        from rustradio_tpu.ops.symbol_sync import symbol_sync
+
+        (v1, m1, _), _ = symbol_sync(xs[c], 10.0)
+        np.testing.assert_array_equal(np.asarray(mask)[c], np.asarray(m1))
+        np.testing.assert_allclose(np.asarray(vals)[c], np.asarray(v1), atol=1e-6)
+
+
+def test_decode_band_three_stations():
+    fs = 512_000.0
+    M = 16  # 32 kHz channels, ~26.7 samples/symbol
+    fs_audio = 32_000.0
+    stations = {
+        2: b"STATION A>APRS:chan 2",
+        5: b"STATION B>APRS:chan 5",
+        11: b"STATION C>APRS:chan 11",  # negative-frequency side (11-16)*fs/M
+    }
+    rng = np.random.RandomState(1)
+    parts = []
+    n_max = 0
+    for k, payload in stations.items():
+        f = (k if k < M / 2 else k - M) * fs / M
+        audio = _afsk_audio(payload, fs_audio)
+        iq = _fm_upconvert(audio, fs_audio, fs, f)
+        parts.append(iq)
+        n_max = max(n_max, len(iq))
+    wide = np.zeros(n_max + 4096, np.complex64)
+    for iq in parts:
+        wide[: len(iq)] += iq
+    wide += (rng.randn(len(wide)) + 1j * rng.randn(len(wide))).astype(np.complex64) * 0.01
+
+    results = decode_band_ax25(wide, fs, n_channels=M, max_active=6)
+    got = {r.channel: [bytes(p) for p in r.packets] for r in results}
+    for k, payload in stations.items():
+        assert k in got, f"channel {k} not decoded (got {sorted(got)})"
+        assert payload in got[k]
+
+
+def test_decode_band_rejects_too_many_channels():
+    with pytest.raises(ValueError):
+        decode_band_ax25(np.zeros(1024, np.complex64), 48_000.0, n_channels=64)
+
+
+def test_scanner_decode_flag(tmp_path, capsys):
+    from rustradio_tpu.apps import scanner
+    from rustradio_tpu.io import rawfile
+
+    fs = 512_000.0
+    iq = _fm_upconvert(_afsk_audio(b"CLI>APRS:scan decode", 32_000.0),
+                       32_000.0, fs, 2 * fs / 16)
+    wide = np.concatenate([iq, np.zeros(4096, np.complex64)])
+    path = str(tmp_path / "band.c32")
+    rawfile.write_samples(path, wide, "c32")
+    assert scanner.main(["-r", path, "--sample_rate", "512k", "-n", "16",
+                         "--decode", "--max_active", "4"]) == 0
+    cap = capsys.readouterr()
+    # packet decoded on channel 2 (the payload is raw ASCII, not a real
+    # AX.25 address block, so only the channel line format is stable)
+    assert "ch   2" in cap.out
+    assert "decoded 1 packets on 1 channels" in cap.err
