@@ -131,10 +131,11 @@ class StreamToPdu(Block):
 
     def __init__(self, tag: str = "burst", max_size: int = 10_000, tail: int = 0):
         self.tag, self.max_size, self.tail = tag, max_size, tail
-        self._pdus_out: list[Pdu] = []
+        self._last_state = None
 
     # ---- state machine ----
     def init_state(self):
+        self._last_state = None
         return {"mode": self.UNSYNC, "buf": None, "tail_left": 0, "tags": []}
 
     def _other_tags(self, tags, lo, hi, base):
@@ -172,10 +173,17 @@ class StreamToPdu(Block):
                 pdus.append(Pdu(b, bt))
 
         def grow(b, lo, hi):
+            # Bound memory on live streams: an open burst past max_size
+            # will be dropped at filing anyway (len > max_size), so stop
+            # storing (and stop collecting tags) past max_size + 1.
+            cur = 0 if b is None else len(b)
+            if cur > self.max_size:
+                return b
             seg = x[lo:hi]
             nonlocal btags
-            btags = btags + self._other_tags(tags, lo, hi, len(b))
-            return seg.copy() if b is None or len(b) == 0 else np.concatenate([b, seg])
+            btags = btags + self._other_tags(tags, lo, hi, cur)
+            out = seg.copy() if cur == 0 else np.concatenate([b, seg])
+            return out[: self.max_size + 1] if len(out) > self.max_size else out
 
         i = 0
         while i < n:
@@ -236,12 +244,27 @@ class StreamToPdu(Block):
                 mode, buf, btags = self.UNSYNC, None, []
                 i = e + 1
 
-        return {"mode": mode, "buf": buf, "tail_left": tail_left, "tags": btags}, pdus
+        new_state = {"mode": mode, "buf": buf, "tail_left": tail_left, "tags": btags}
+        self._last_state = new_state
+        return new_state, pdus
+
+    def flush(self):
+        """End-of-stream drain: a burst whose TAIL was clipped by EOF is
+        filed truncated (it already saw its end tag — dropping it would
+        lose a complete packet).  An unterminated PACKET-state burst is
+        still dropped, like the reference waiting forever for the end tag.
+        """
+        s = self._last_state
+        self._last_state = None
+        if s is None or s["mode"] != self.TAIL or s["buf"] is None:
+            return None
+        if len(s["buf"]) > self.max_size:
+            return None
+        return [Pdu(s["buf"], list(s["tags"]))]
 
     def apply(self, x):
-        # Offline mode runs the same machine over the whole stream; an
-        # unterminated burst at EOF is dropped (the reference would keep
-        # waiting for more input).
+        # Offline mode runs the same machine over the whole stream; the
+        # graph's flush pass files any EOF-clipped tail afterwards.
         _, pdus = self.apply_chunk(self.init_state(), x)
         return pdus
 

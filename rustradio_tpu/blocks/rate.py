@@ -62,34 +62,46 @@ class RationalResampler(Block):
 
 
 class Delay(Block):
-    """Zero-filled delay with runtime ``set_delay`` (reference src/delay.rs).
+    """Zero-filled delay (reference src/delay.rs): ``delay`` zeros, then
+    the input stream.
 
-    Emits ``delay`` zeros, then the input stream.  ``set_delay`` may be
-    called mid-stream (e.g. from a control thread): increasing the delay
-    inserts more zeros before the next chunk's samples; decreasing it skips
-    input samples until the stream has caught up — the reference's
-    ``current_delay``/``skip`` arithmetic (src/delay.rs:42-53, 58-105).
-    Output length therefore varies per chunk, so the block runs unfused.
+    Two modes:
+
+    * static (default) — a device block that fuses into jit segments:
+      per-chunk output keeps the chunk length (a carried tail), and the
+      final ``delay`` samples drain at end-of-stream via the graph's
+      flush pass, so the total stream is the reference's N + delay.
+    * ``dynamic=True`` — supports runtime ``set_delay`` (e.g. from a
+      control thread): increasing the delay inserts zeros before the
+      next chunk; decreasing it skips input until caught up — the
+      reference's ``current_delay``/``skip`` arithmetic
+      (src/delay.rs:42-53, 58-105).  Output length varies per chunk, so
+      this mode runs unfused on the host.
     """
 
-    jit_chunk = False
-    domain = "host"
-
-    def __init__(self, n: int):
+    def __init__(self, n: int, dynamic: bool = False):
         if n < 0:
             raise ValueError("delay must be >= 0")
         self.delay = n
+        self.dynamic = dynamic
         self._pending: list[int] = []
         self._zeros_this = 0
         self._skip_this = 0
+        if dynamic:
+            self.jit_chunk = False
+            self.domain = "host"
 
     def set_delay(self, n: int) -> None:
         """Queue a delay change; takes effect at the next chunk."""
+        if not self.dynamic:
+            raise ValueError("runtime set_delay needs Delay(n, dynamic=True)")
         if n < 0:
             raise ValueError("delay must be >= 0")
         self._pending.append(n)
 
     def init_state(self):
+        if not self.dynamic:
+            return None  # lazily-typed carried tail
         return {"current": self.delay, "skip": 0}
 
     def _drain_pending(self, current: int, skip: int):
@@ -106,6 +118,12 @@ class Delay(Block):
         return current, skip
 
     def apply_chunk(self, state, x):
+        if not self.dynamic:
+            x = jnp.asarray(x)
+            if state is None:
+                state = jnp.zeros(self.delay, x.dtype)
+            ext = jnp.concatenate([state, x])
+            return ext[x.shape[0] :], ext[: x.shape[0]]
         current, skip = self._drain_pending(state["current"], state["skip"])
         x = np.asarray(x)
         k = min(skip, len(x))
@@ -114,7 +132,17 @@ class Delay(Block):
         out = np.concatenate([np.zeros(current, x.dtype), body])
         return {"current": 0, "skip": skip - k}, jnp.asarray(out)
 
+    def flush_with_state(self, state):
+        # static mode: the carried tail (the stream's last `delay`
+        # samples) drains at end-of-stream, making the total N + delay
+        if self.dynamic or state is None or self.delay == 0:
+            return None
+        return state
+
     def apply(self, x):
+        if not self.dynamic:
+            x = jnp.asarray(x)
+            return jnp.concatenate([jnp.zeros(self.delay, x.dtype), x])
         _, out = self.apply_chunk(self.init_state(), x)
         return out
 
@@ -125,7 +153,10 @@ class Delay(Block):
         from ..streams import Tag
 
         src = in_tags[0] if in_tags else []
-        shift, k = self._zeros_this, self._skip_this
+        if not self.dynamic:
+            shift, k = self.delay, 0
+        else:
+            shift, k = self._zeros_this, self._skip_this
         return [
             [
                 Tag(t.pos - k + shift, t.key, t.val)

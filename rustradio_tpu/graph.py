@@ -124,37 +124,57 @@ class Graph:
         return jax.profiler.TraceAnnotation(f"rr::{name}")
 
     def _record_cost(self, idx: int, fn, args):
-        """Accumulate compiled-program FLOPs + bytes for the stats table.
+        """Note a jitted execution for the stats table's FLOPs/bytes.
 
-        XLA's cost analysis is queried once per (node, input signature)
-        from the compilation cache and then charged on every execution —
-        the SURVEY §5 per-segment bytes+FLOPs accounting.
+        Recording is free at run time: only the abstract input signature
+        is kept (as ShapeDtypeStructs) with a call count.  The XLA cost
+        analysis itself is evaluated lazily in :meth:`costs` /
+        :meth:`generate_stats` — an AOT ``lower().compile()`` does not
+        reuse the jit dispatch cache, so querying it eagerly would pay a
+        second trace+compile per program on every run.
         """
         import jax
 
+        abstract = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(np.shape(a), getattr(a, "dtype", None) or np.asarray(a).dtype),
+            args,
+        )
         sig = (
             idx,
             tuple(
-                (tuple(np.shape(a)), str(getattr(a, "dtype", type(a).__name__)))
-                for a in jax.tree_util.tree_leaves(args)
+                (tuple(s.shape), str(s.dtype))
+                for s in jax.tree_util.tree_leaves(abstract)
             ),
         )
-        per_call = self._cost_seen.get(sig)
-        if per_call is None:
-            try:
-                cost = fn.lower(*args).compile().cost_analysis()
-                if isinstance(cost, (list, tuple)):
-                    cost = cost[0] if cost else {}
-                per_call = (
-                    float(cost.get("flops", 0.0) or 0.0),
-                    float(cost.get("bytes accessed", 0.0) or 0.0),
-                )
-            except Exception:
-                per_call = (0.0, 0.0)
-            self._cost_seen[sig] = per_call
-        agg = self._costs.setdefault(idx, {"flops": 0.0, "bytes": 0.0})
-        agg["flops"] += per_call[0]
-        agg["bytes"] += per_call[1]
+        rec = self._cost_seen.get(sig)
+        if rec is None:
+            self._cost_seen[sig] = {"idx": idx, "fn": fn, "abstract": abstract,
+                                    "calls": 1}
+        else:
+            rec["calls"] += 1
+
+    def _evaluate_costs(self) -> dict[int, dict[str, float]]:
+        """Resolve pending cost-analysis queries (compiles on demand)."""
+        costs: dict[int, dict[str, float]] = {}
+        for rec in self._cost_seen.values():
+            per_call = rec.get("per_call")
+            if per_call is None:
+                try:
+                    cost = rec["fn"].lower(*rec["abstract"]).compile().cost_analysis()
+                    if isinstance(cost, (list, tuple)):
+                        cost = cost[0] if cost else {}
+                    per_call = (
+                        float(cost.get("flops", 0.0) or 0.0),
+                        float(cost.get("bytes accessed", 0.0) or 0.0),
+                    )
+                except Exception:
+                    per_call = (0.0, 0.0)
+                rec["per_call"] = per_call
+            agg = costs.setdefault(rec["idx"], {"flops": 0.0, "bytes": 0.0})
+            agg["flops"] += per_call[0] * rec["calls"]
+            agg["bytes"] += per_call[1] * rec["calls"]
+        self._costs = costs
+        return costs
 
     # ---- construction ----
     def add(self, block: Block, *inputs) -> Node:
@@ -404,7 +424,16 @@ class Graph:
                     if hasattr(b, "accept_tags"):
                         b.accept_tags(in_tags[0], 0)
                     out = None
-            fout = b.flush() if hasattr(b, "flush") else None
+            if hasattr(b, "flush_with_state"):
+                # blocks whose pending output lives in the carried state
+                # (e.g. static Delay's tail); offline mode has no pending
+                fout = (
+                    b.flush_with_state(states.get(node.idx))
+                    if states is not None
+                    else None
+                )
+            else:
+                fout = b.flush() if hasattr(b, "flush") else None
             if out is None and fout is None:
                 continue
             outs = out if isinstance(out, tuple) else ((out,) if out is not None else (None,) * max(b.n_out, 1))
@@ -661,6 +690,7 @@ class Graph:
         from .utils.stats import device_hbm_gbps
 
         total = sum(self._stats.values()) or 1e-12
+        self._evaluate_costs()
         have_costs = bool(self._costs)
         hdr = "block                          seconds     %"
         if have_costs:
@@ -686,5 +716,6 @@ class Graph:
         return "\n".join(lines)
 
     def costs(self) -> dict[int, dict[str, float]]:
-        """Per-node accumulated {'flops', 'bytes'} from XLA cost analysis."""
-        return dict(self._costs)
+        """Per-node accumulated {'flops', 'bytes'} from XLA cost analysis
+        (evaluated lazily — compiles the cost query on first request)."""
+        return dict(self._evaluate_costs())

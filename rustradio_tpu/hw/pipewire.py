@@ -58,9 +58,12 @@ class PipewireSource(SourceBlock):
         k = len(buf) // 4
         return np.frombuffer(buf[: 4 * k], "<f4")
 
-    def close(self):
+    def finish(self):
+        # graph end-of-run hook: stop the recorder subprocess
         self._proc.terminate()
         self._proc.wait(timeout=10)
+
+    close = finish
 
 
 class PipewireSink(Block):

@@ -59,15 +59,51 @@ class SoapyDriver(SdrDriver):
     def time_ns(self):
         return int(self._sdr.getHardwareTime())
 
+    # live command channel -> hardware (the SdrSource drains its queue
+    # into these between reads)
+    def set_frequency(self, hz):
+        from SoapySDR import SOAPY_SDR_RX
+
+        super().set_frequency(hz)
+        self._sdr.setFrequency(SOAPY_SDR_RX, self._channel, float(hz))
+
+    def set_sample_rate(self, sps):
+        from SoapySDR import SOAPY_SDR_RX
+
+        super().set_sample_rate(sps)
+        self._sdr.setSampleRate(SOAPY_SDR_RX, self._channel, float(sps))
+
+    def set_gain(self, gain):
+        from SoapySDR import SOAPY_SDR_RX
+
+        super().set_gain(gain)
+        gr = self._sdr.getGainRange(SOAPY_SDR_RX, self._channel)
+        self._sdr.setGain(
+            SOAPY_SDR_RX, self._channel,
+            gr.minimum() + float(gain) * (gr.maximum() - gr.minimum()),
+        )
+
+    def take_overflows(self):
+        n, self._overflows = self._overflows, 0
+        return n
+
+    _overflows = 0
+
     def read(self, n):
         import numpy as np
+        from SoapySDR import SOAPY_SDR_OVERFLOW, SOAPY_SDR_TIMEOUT
 
         out = np.empty(n, np.complex64)
         got = 0
         while got < n:
             sr = self._sdr.readStream(self._stream, [out[got:]], n - got)
-            if sr.ret <= 0:
-                break
+            if sr.ret == SOAPY_SDR_TIMEOUT or sr.ret == 0:
+                continue  # transient: keep blocking like a live source
+            if sr.ret == SOAPY_SDR_OVERFLOW:
+                self._overflows += 1
+                continue
+            if sr.ret < 0:
+                break  # fatal stream error -> end of stream
             got += sr.ret
         return out[:got]
 

@@ -111,8 +111,13 @@ def decode_band_ax25(
     if not active:
         return []
 
-    bank = jnp.transpose(ch[:, np.asarray(active)])  # (C, frames)
-    nrz = _afsk_bank(bank, chan_rate)
+    # channel selection + demod bank under ONE jit — ch is complex64 and
+    # eager complex ops are unimplemented on the axon TPU transport
+    @functools.partial(jax.jit, static_argnames=("rate",))
+    def bank_demod(ch, idx, rate):
+        return _afsk_bank(jnp.transpose(ch[:, idx]), rate)
+
+    nrz = bank_demod(ch, jnp.asarray(active), chan_rate)
     vals, mask, _ = recover_symbols_batch(np.asarray(nrz), sps)
     vals, mask = np.asarray(vals), np.asarray(mask)
 

@@ -428,8 +428,8 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
         win_i = jnp.stack(
             [jax.lax.dynamic_slice_in_dim(xi, int(s), ntaps) for s in starts]
         )
-        yb_r = (win_r + off[0]) @ trev
-        yb_i = (win_i + off[0]) @ trev
+        yb_r = jnp.dot(win_r + off[0], trev, precision=jax.lax.Precision.HIGHEST)
+        yb_i = jnp.dot(win_i + off[0], trev, precision=jax.lax.Precision.HIGHEST)
         k = len(seams)
         yrl, yil = yb_r[:k], yb_i[:k]      # y[t0-1] per seam
         yrf, yif = yb_r[k:], yb_i[k:]      # y[t0] per seam

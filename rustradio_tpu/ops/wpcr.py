@@ -198,6 +198,21 @@ def _wpcr_masked(v, m, N: int):
     return mask, sps, clock_phase0, found
 
 
+def _wpcr_one_eager(b, midpoint_first: bool):
+    """Exact per-burst path for bursts too long for the int32 chirp."""
+    v = jnp.asarray(b, jnp.float32)
+    if midpoint_first:
+        v, ok = midpoint(v)
+        if not bool(np.asarray(ok)):
+            return (np.zeros(0, np.float32),
+                    dict(sps=0.0, phase=0.0, found=False))
+    samples, mask, info = wpcr(v)
+    found = bool(np.asarray(info["found"]))
+    syms = np.asarray(samples)[np.asarray(mask)] if found else np.zeros(0, np.float32)
+    return (syms, dict(sps=float(np.asarray(info["sps"])),
+                       phase=float(np.asarray(info["phase"])), found=found))
+
+
 @functools.lru_cache(maxsize=None)
 def _wpcr_bucket_fn(L: int, do_midpoint: bool):
     N = 2 * L
@@ -236,6 +251,11 @@ def wpcr_batch(bursts, midpoint_first: bool = True):
                           dict(sps=0.0, phase=0.0, found=False))
             continue
         L = 1 << max(6, (n - 1).bit_length())
+        if L > 32768:
+            # the chirp's t^2 must stay below 2^31 in int32 (t < L), so
+            # very long bursts take the eager exact path instead
+            results[i] = _wpcr_one_eager(b, midpoint_first)
+            continue
         buckets.setdefault(L, []).append(i)
     for L, idxs in buckets.items():
         B = len(idxs)

@@ -115,13 +115,8 @@ def pipeline_run_rates(stages, chunks, mesh: Mesh, axis: str = "stage"):
         return g
 
     branch_fns = [wrap(*s) for s in stages]
-    rounds = n_chunks + d_stages - 1
-    feed = jnp.concatenate(
-        [
-            jnp.pad(chunks, ((0, d_stages - 1), (0, W - chunks.shape[1]))),
-        ],
-        axis=0,
-    )
+    # d_stages-1 zero rows drain the pipe after the last chunk enters
+    feed = jnp.pad(chunks, ((0, d_stages - 1), (0, W - chunks.shape[1])))
     fwd = [(i, i + 1) for i in range(d_stages - 1)]
 
     def body(carry, inject):
@@ -144,7 +139,6 @@ def pipeline_run_rates(stages, chunks, mesh: Mesh, axis: str = "stage"):
     )
     init = jnp.zeros((d_stages, W), chunks.dtype)
     ys = f(feed, init)
-    del rounds
     return ys[d_stages - 1, d_stages - 1 :, :out_last]
 
 

@@ -1,6 +1,7 @@
 """Dynamic Delay block (reference src/delay.rs tests :108-238)."""
 
 import numpy as np
+import pytest
 
 from rustradio_tpu import blocks
 from rustradio_tpu.graph import Graph
@@ -28,14 +29,14 @@ def test_delay_one():
 
 
 def test_delay_increase_before_work_extends_remaining_delay():
-    d = blocks.Delay(1)
+    d = blocks.Delay(1, dynamic=True)
     d.set_delay(2)
     s = _run(d, np.asarray([1, 2], np.int32))
     np.testing.assert_array_equal(s.data(), [0, 0, 1, 2])
 
 
 def test_delay_decrease_before_work_reduces_remaining_delay():
-    d = blocks.Delay(3)
+    d = blocks.Delay(3, dynamic=True)
     d.set_delay(1)
     s = _run(d, np.asarray([1, 2], np.int32))
     np.testing.assert_array_equal(s.data(), [0, 1, 2])
@@ -48,7 +49,7 @@ def test_delay_reduced_twice_accumulates_pending_skip():
     # chunk 1 current_delay == 0 and both reductions land on skip (11 + 1).
     cap = 64
     data = np.arange(cap, dtype=np.int32)
-    d = blocks.Delay(cap + 10)
+    d = blocks.Delay(cap + 10, dynamic=True)
     state = d.init_state()
     state, out = d.apply_chunk(state, data[:0])
     np.testing.assert_array_equal(np.asarray(out), np.zeros(cap + 10, np.int32))
@@ -62,7 +63,7 @@ def test_delay_mid_stream_decrease_skips_samples():
     # chunk 1: 4 zeros + data[0:8]; reduce delay 4 -> 1 (skip 3); chunk 2
     # drops 3 input samples before resuming the copy
     data = np.arange(16, dtype=np.int32)
-    d = blocks.Delay(4)
+    d = blocks.Delay(4, dynamic=True)
     state = d.init_state()
     state, out1 = d.apply_chunk(state, data[:8])
     np.testing.assert_array_equal(
@@ -75,7 +76,7 @@ def test_delay_mid_stream_decrease_skips_samples():
 
 def test_delay_mid_stream_increase_inserts_zeros():
     data = np.arange(8, dtype=np.int32)
-    d = blocks.Delay(1)
+    d = blocks.Delay(1, dynamic=True)
     state = d.init_state()
     state, out1 = d.apply_chunk(state, data[:4])
     np.testing.assert_array_equal(np.asarray(out1), [0, 0, 1, 2, 3])
@@ -100,3 +101,36 @@ def test_delay_streaming_equals_offline():
     s1 = _run(blocks.Delay(7), data)
     s2 = _run(blocks.Delay(7), data, chunk=13)
     np.testing.assert_array_equal(s1.data(), s2.data())
+
+
+def test_static_delay_is_device_fusable():
+    d = blocks.Delay(3)
+    assert d.domain == "device" and d.jit_chunk
+    with pytest.raises(ValueError):
+        d.set_delay(1)
+
+
+def test_dynamic_delay_runs_on_host():
+    d = blocks.Delay(3, dynamic=True)
+    assert d.domain == "host" and not d.jit_chunk
+
+
+def test_static_delay_fuses_into_segment():
+    # Delay between two device blocks must form ONE fused segment
+    from rustradio_tpu.graph import Graph
+
+    g = Graph()
+    sink = g.add(
+        blocks.VectorSink(),
+        g.add(
+            blocks.MultiplyConst(2.0),
+            g.add(blocks.Delay(4), g.add(blocks.AddConst(1.0),
+                                         g.add(blocks.VectorSource(
+                                             np.arange(8, dtype=np.float32))))),
+        ),
+    )
+    segs = g._segments()
+    assert any(len(s) == 3 for s in segs.values()), "AddConst+Delay+MultiplyConst should fuse"
+    g.run()
+    want = np.concatenate([np.zeros(4, np.float32), np.arange(8, dtype=np.float32) + 1]) * 2
+    np.testing.assert_allclose(sink.block.data(), want)

@@ -170,3 +170,38 @@ def test_stream_to_pdu_checkpoint_mid_burst(tmp_path):
     got = [np.asarray(p.data) for p in s2.pdus() + s3.pdus()]
     assert len(got) == 1
     np.testing.assert_array_equal(want[0], got[0])
+
+
+def test_stream_to_pdu_eof_clipped_tail_is_filed():
+    # end tag arrives, but the stream ends inside the tail: the burst is
+    # filed truncated at EOF (flush pass) instead of silently lost
+    data = np.arange(100, dtype=np.float32)
+    trigger = np.zeros(100, np.float32)
+    trigger[50:95] = 1.0  # end tag at 95; tail 20 runs past the stream end
+    for chunk in (None, 32):
+        g, s = _burst_graph(data, trigger, tail=20)
+        if chunk is None:
+            g.run()
+        else:
+            g.run_stream(chunk_size=chunk)
+        pdus = s.pdus()
+        assert len(pdus) == 1
+        np.testing.assert_array_equal(np.asarray(pdus[0].data), data[50:100])
+
+
+def test_stream_to_pdu_open_burst_memory_bounded():
+    # a stuck-high trigger must not grow the carried buffer unboundedly
+    b = blocks.StreamToPdu("burst", max_size=1000, tail=0)
+    from rustradio_tpu.streams import Tag
+
+    state = b.init_state()
+    b.set_tags([Tag(0, "burst", True)])
+    state, _ = b.apply_chunk(state, np.zeros(5000, np.float32))
+    b.set_tags([])
+    for _ in range(10):
+        state, _ = b.apply_chunk(state, np.zeros(5000, np.float32))
+    assert len(state["buf"]) <= 1001
+    # and the oversized burst is still dropped at its end tag
+    b.set_tags([Tag(0, "burst", False)])
+    state, pdus = b.apply_chunk(state, np.zeros(10, np.float32))
+    assert pdus == []

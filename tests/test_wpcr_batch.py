@@ -99,3 +99,18 @@ def test_wpcr_batch_decodes_real_packets():
     pkts = ax25_9600_wpcr_rx(iq, 50_000.0)
     got = {bytes(p) for p in pkts}
     assert got == set(payloads)
+
+
+def test_wpcr_batch_long_burst_fallback():
+    # bursts past the int32 chirp bound route through the eager path and
+    # still agree with it
+    rng = np.random.RandomState(3)
+    long_burst = _make_burst(rng, 3500, 10)  # 35000 samples -> L would be 65536
+    assert len(long_burst) > 32769
+    (syms, info), = W.wpcr_batch([long_burst])
+    centered, ok = W.midpoint(jnp.asarray(long_burst))
+    s, mask, ii = W.wpcr(centered)
+    assert info["found"] == bool(np.asarray(ii["found"]))
+    if info["found"]:
+        es = np.asarray(s)[np.asarray(mask)]
+        np.testing.assert_allclose(es, syms, atol=1e-4)
