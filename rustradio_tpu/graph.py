@@ -135,23 +135,26 @@ class Graph:
         """
         import jax
 
-        abstract = jax.tree_util.tree_map(
-            lambda a: jax.ShapeDtypeStruct(np.shape(a), getattr(a, "dtype", None) or np.asarray(a).dtype),
-            args,
-        )
+        leaves = jax.tree_util.tree_leaves(args)
         sig = (
             idx,
             tuple(
-                (tuple(s.shape), str(s.dtype))
-                for s in jax.tree_util.tree_leaves(abstract)
+                (np.shape(a), str(getattr(a, "dtype", type(a).__name__)))
+                for a in leaves
             ),
         )
         rec = self._cost_seen.get(sig)
-        if rec is None:
-            self._cost_seen[sig] = {"idx": idx, "fn": fn, "abstract": abstract,
-                                    "calls": 1}
-        else:
+        if rec is not None:  # hot path: one dict lookup + counter bump
             rec["calls"] += 1
+            return
+        abstract = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(
+                np.shape(a), getattr(a, "dtype", None) or np.asarray(a).dtype
+            ),
+            args,
+        )
+        self._cost_seen[sig] = {"idx": idx, "fn": fn, "abstract": abstract,
+                                "calls": 1}
 
     def _evaluate_costs(self) -> dict[int, dict[str, float]]:
         """Resolve pending cost-analysis queries (compiles on demand)."""
