@@ -17,6 +17,7 @@ from .sharded import (
     sharded_fir_filter,
     sharded_fm_demod,
     sharded_quadrature_demod,
+    sharded_symbol_sync_bank,
 )
 from .channelizer import (
     channelizer_fm_bank,
@@ -43,5 +44,6 @@ __all__ = [
     "sharded_fir_filter",
     "sharded_fm_demod",
     "sharded_quadrature_demod",
+    "sharded_symbol_sync_bank",
     "time_axis_spec",
 ]

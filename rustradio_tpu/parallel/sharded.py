@@ -130,6 +130,37 @@ def sharded_bell202_demod(audio, samp_rate: float, mesh, axis: str = "time"):
     return _shmap(mesh, axis, body)(jnp.asarray(audio, jnp.float32))
 
 
+def sharded_symbol_sync_bank(xs, sps: float, mesh, axis: str = "chan",
+                             max_deviation: float = 0.5,
+                             clock_taps=(0.5, 0.5)):
+    """Clock recovery for a (C, N) bank of NRZ streams with the CHANNEL
+    axis sharded over the mesh.
+
+    Each device runs one vmapped ``symbol_sync`` scan over its C/n_dev
+    channels — the multi-chip form of the channel-parallel receiver
+    (models/multichannel.py): channels never talk to each other, so the
+    shard needs no halos at all.  Returns (values, mask, clocks), each
+    (C, N), sharded like the input.
+    """
+    from ..ops.symbol_sync import symbol_sync
+
+    n_sh = mesh.shape[axis]
+    if xs.shape[0] % n_sh:
+        raise ValueError(f"channel count {xs.shape[0]} must divide {n_sh} shards")
+
+    def body(xs_local):
+        f = jax.vmap(lambda x: symbol_sync(x, sps, max_deviation, clock_taps)[0])
+        return f(xs_local)
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis, None),),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        check_vma=False,
+    )(jnp.asarray(xs, jnp.float32))
+
+
 def sharded_fm_demod(
     iq,
     taps,

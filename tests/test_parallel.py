@@ -191,3 +191,28 @@ def test_sharded_bell202_decodes_packets(mesh):
     # and equals the single-device model output
     single = [bytes(p) for p in ax25_1200_rx(audio, fs)]
     assert got == single
+
+
+def test_sharded_symbol_sync_bank(mesh):
+    # channel-sharded clock recovery == the single-device vmapped scan
+    from rustradio_tpu.parallel import sharded_symbol_sync_bank
+    from rustradio_tpu.models.multichannel import recover_symbols_batch
+
+    rng = np.random.RandomState(3)
+    C, nbits, sps = 8, 60, 10
+    bits = rng.randint(0, 2, (C, nbits)) * 2.0 - 1.0
+    xs = np.repeat(bits, sps, axis=1).astype(np.float32)
+    xs += rng.randn(*xs.shape).astype(np.float32) * 0.05
+
+    import jax
+    from jax.sharding import Mesh
+
+    cmesh = Mesh(np.asarray(jax.devices()[:8]), ("chan",))
+    vals_s, mask_s, clk_s = sharded_symbol_sync_bank(xs, float(sps), cmesh)
+    vals, mask, clk = recover_symbols_batch(xs, float(sps))
+    np.testing.assert_array_equal(np.asarray(mask_s), np.asarray(mask))
+    np.testing.assert_allclose(np.asarray(vals_s), np.asarray(vals), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(clk_s), np.asarray(clk), atol=1e-5)
+
+    with pytest.raises(ValueError):
+        sharded_symbol_sync_bank(xs[:5], float(sps), cmesh)
