@@ -112,8 +112,11 @@ def sharded_bell202_demod(audio, samp_rate: float, mesh, axis: str = "time"):
     def body(xs):
         ln = xs.shape[0]
         # Hilbert: y_im[i] = sum_j hil[j] x[i-1-j]; y_re[i] = x[i - ceil(nh/2)]
+        # via the filter dispatcher (banded MXU kernel on TPU — mixing a
+        # HIGHEST conv with a pallas_call in one program triggers a
+        # pathological XLA compile, ~7 min vs seconds on v5e)
         ext = halo_exchange_left(xs, nh, axis)
-        y_im = _conv1d(ext, hil, stride=1, pad_left=0)[:ln]
+        y_im = jax.lax.dynamic_slice_in_dim(_filter_float(ext, hil), nh - 1, ln)
         y_re = jax.lax.dynamic_slice_in_dim(ext, nh // 2, ln)
         analytic = jax.lax.complex(y_re, y_im)
         # FM discriminator with a 1-sample right halo
