@@ -64,11 +64,14 @@ def _conv1d(x, taps, stride: int = 1, pad_left: int = 0):
 
 
 def _use_mxu(ntaps: int) -> bool:
-    """Short-to-medium filters go through the banded Pallas MXU kernel on
-    TPU (its weight stack is VMEM-resident); long ones use XLA conv/FFT."""
+    """Filters up to 4k taps go through the banded Pallas MXU kernel on
+    TPU (its weight stack is VMEM-resident; same bound as
+    ops.filter_float — measured 3x the FFT path at 1205 taps); longer
+    ones use XLA conv/FFT.  Staying on the pallas path also avoids the
+    pathological conv+pallas one-program compile (doc/performance.md)."""
     from .pallas_kernels import _on_tpu
 
-    return ntaps <= 1024 and _on_tpu()
+    return ntaps <= 4096 and _on_tpu()
 
 
 def fir_filter(x, taps, deci: int = 1):
