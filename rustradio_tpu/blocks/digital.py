@@ -92,6 +92,11 @@ class CorrelateAccessCode(Block):
         if self.code.size == 0:
             raise ValueError("access code must be nonempty")
         self.allowed_diffs = allowed_diffs
+        from ..ops.pallas_kernels import _on_tpu
+
+        # lowers to a HIGHEST XLA conv; keep out of pallas-flavored
+        # fused segments (Block.compile_group)
+        self.compile_group = "conv" if _on_tpu() else None
 
     def apply(self, x):
         return ops.correlate_access_code(x, self.code, self.allowed_diffs)

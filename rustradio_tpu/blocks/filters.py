@@ -11,6 +11,17 @@ from ..streams import Tag
 from .base import Block
 
 
+def _kernel_group(ntaps: int) -> str | None:
+    """Fusion flavor on TPU: filters on the banded Pallas path are
+    "pallas", longer ones lower to HIGHEST XLA convs ("conv") — the two
+    must not share a fused program (see Block.compile_group)."""
+    from ..ops.pallas_kernels import _on_tpu
+
+    if not _on_tpu():
+        return None
+    return "pallas" if ntaps <= 4096 else "conv"
+
+
 class FirFilter(Block):
     """Decimating FIR, valid-conv alignment (reference src/fir.rs:485-547).
 
@@ -22,6 +33,7 @@ class FirFilter(Block):
         self.taps = np.asarray(taps)
         self.deci = deci
         self.translate = translate
+        self.compile_group = _kernel_group(len(self.taps))
 
     def apply(self, x):
         if self.translate is not None:
@@ -61,6 +73,8 @@ class FftFilter(Block):
     def __init__(self, taps, fft_size: int | None = None):
         self.taps = np.asarray(taps)
         self.fft_size = fft_size
+        real = not np.iscomplexobj(self.taps) or not np.any(np.imag(self.taps))
+        self.compile_group = _kernel_group(len(self.taps)) if real else None
 
     def apply(self, x):
         return ops.filter_complex(x, self.taps, self.fft_size)
@@ -81,6 +95,7 @@ class FftFilterFloat(Block):
     def __init__(self, taps, fft_size: int | None = None):
         self.taps = np.asarray(taps, np.float32)
         self.fft_size = fft_size
+        self.compile_group = _kernel_group(len(self.taps))
 
     def apply(self, x):
         return ops.filter_float(x, self.taps, self.fft_size)
@@ -103,6 +118,7 @@ class Hilbert(Block):
             raise ValueError("hilbert filter len must be odd")
         self.ntaps = ntaps
         self.taps = tapgen.hilbert(ntaps, window)
+        self.compile_group = _kernel_group(ntaps)
 
     def apply(self, x):
         return ops.hilbert_transform(x, self.ntaps, taps=self.taps)

@@ -87,6 +87,7 @@ class Delay(Block):
         self._pending: list[int] = []
         self._zeros_this = 0
         self._skip_this = 0
+        self._carried_tags: list = []
         if dynamic:
             self.jit_chunk = False
             self.domain = "host"
@@ -100,6 +101,7 @@ class Delay(Block):
         self._pending.append(n)
 
     def init_state(self):
+        self._carried_tags = []
         if not self.dynamic:
             return None  # lazily-typed carried tail
         return {"current": self.delay, "skip": 0}
@@ -154,9 +156,20 @@ class Delay(Block):
 
         src = in_tags[0] if in_tags else []
         if not self.dynamic:
-            shift, k = self.delay, 0
-        else:
-            shift, k = self._zeros_this, self._skip_this
+            # static streaming: a tag whose delayed position lands past
+            # this chunk rides the carried tail and re-emits next chunk
+            # (or in the flush drain) — without this, any tag in the last
+            # `delay` samples of a chunk would vanish
+            n = out_lens[0] if out_lens else 0
+            allt = self._carried_tags + [
+                Tag(t.pos + self.delay, t.key, t.val) for t in src
+            ]
+            keep = sorted(t for t in allt if t.pos < n)
+            self._carried_tags = [
+                Tag(t.pos - n, t.key, t.val) for t in allt if t.pos >= n
+            ]
+            return [list(keep) for _ in out_lens]
+        shift, k = self._zeros_this, self._skip_this
         return [
             [
                 Tag(t.pos - k + shift, t.key, t.val)

@@ -247,13 +247,25 @@ class Graph:
         if not hasattr(self, "_segs"):
             segs: dict[int, list[Node]] = {}
             cur: list[Node] = []
+            cur_group: str | None = None
             for n in self._topo():
                 if self._fusable(n):
+                    g = getattr(n.block, "compile_group", None)
+                    if g and cur_group and g != cur_group:
+                        # never fuse conv-flavored and pallas-flavored
+                        # blocks into one program (pathological compile)
+                        if len(cur) > 1:
+                            segs[cur[0].idx] = cur
+                        cur = []
+                        cur_group = None
                     cur.append(n)
+                    if g:
+                        cur_group = g
                 else:
                     if len(cur) > 1:
                         segs[cur[0].idx] = cur
                     cur = []
+                    cur_group = None
             if len(cur) > 1:
                 segs[cur[0].idx] = cur
             self._segs = segs
@@ -419,8 +431,16 @@ class Graph:
                 xs = [_stage_for(b.domain, values[k]) for k in keys]
                 if hasattr(b, "set_tags"):
                     b.set_tags(in_tags[0])
+                # device blocks go through their jitted forms — eager
+                # complex compute is unimplemented on the axon transport
+                jitted = b.domain == "device" and b.n_out > 0 and b.jit_chunk
                 if states is None:
-                    out = b.apply(*xs)
+                    fn = self._device_call(node, "apply") if jitted else b.apply
+                    out = fn(*xs)
+                elif jitted:
+                    states[node.idx], out = self._device_call(node, "apply_chunk")(
+                        states[node.idx], *xs
+                    )
                 else:
                     states[node.idx], out = b.apply_chunk(states[node.idx], *xs)
                 if b.n_out == 0:
@@ -524,7 +544,8 @@ class Graph:
             for i, (o, ot) in enumerate(zip(outs, otags)):
                 values[(node.idx, i)] = o
                 tags[(node.idx, i)] = ot
-        self._flush_pass()
+        if not self._token.is_cancelled():
+            self._flush_pass()
         # notify canaries / finishers
         for node in self.nodes:
             if hasattr(node.block, "finish"):
@@ -604,7 +625,13 @@ class Graph:
                 )
         chunk_count = 0
         out_offsets: dict[int, int] = {}
-        while offset < total and not self._token.is_cancelled():
+        ended = False  # true end-of-stream (vs a max_chunks/cancel pause)
+        while True:
+            if offset >= total:
+                ended = True
+                break
+            if self._token.is_cancelled():
+                break
             if max_chunks is not None and chunk_count >= max_chunks:
                 break
             # live sources (TCP, readers, SDR drivers) may end before their
@@ -612,6 +639,7 @@ class Graph:
             if any(
                 getattr(s.block, "exhausted", lambda: False)() for s in sources
             ):
+                ended = True
                 break
             n_chunk = min(chunk_size, total - offset)
             values: dict[tuple[int, int], Any] = {}
@@ -679,7 +707,12 @@ class Graph:
                     checkpoint_path, states, offset,
                     extra={"blocks": [n.block.name() for n in self.nodes]},
                 )
-        self._flush_pass(states)
+        # Drain end-of-stream outputs ONLY at a true EOF: a max_chunks or
+        # cancellation pause keeps pending state (tails, open bursts) in
+        # the carried pytrees for checkpoint/resume; flushing there would
+        # emit it early AND again after the resume.
+        if ended:
+            self._flush_pass(states)
         for node in self.nodes:
             if hasattr(node.block, "finish"):
                 node.block.finish()

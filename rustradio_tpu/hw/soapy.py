@@ -95,17 +95,27 @@ class SoapyDriver(SdrDriver):
 
         out = np.empty(n, np.complex64)
         got = 0
+        empty_reads = 0
         while got < n:
             sr = self._sdr.readStream(self._stream, [out[got:]], n - got)
             if sr.ret == SOAPY_SDR_TIMEOUT or sr.ret == 0:
-                continue  # transient: keep blocking like a live source
+                # transient — but a dead/unplugged device often times out
+                # forever, so bound the wait (~readStream timeouts each)
+                empty_reads += 1
+                if empty_reads > self.max_empty_reads:
+                    break
+                continue
             if sr.ret == SOAPY_SDR_OVERFLOW:
                 self._overflows += 1
                 continue
             if sr.ret < 0:
                 break  # fatal stream error -> end of stream
+            empty_reads = 0
             got += sr.ret
         return out[:got]
+
+    #: consecutive empty/timeout reads before the stream is declared dead
+    max_empty_reads = 100
 
 
 class SoapySdrSourceBuilder:

@@ -61,6 +61,15 @@ def _afsk_bank(channels, chan_rate: float):
     return jax.vmap(lambda a: bell202_demod(a, chan_rate))(fm)
 
 
+@functools.partial(jax.jit, static_argnames=("rate",))
+def _bank_demod(ch, idx, rate):
+    """Channel selection + demod bank under ONE jit (module-level so the
+    compiled program is reused across decode_band_ax25 calls; ch is
+    complex64 and eager complex ops are unimplemented on the axon TPU
+    transport)."""
+    return _afsk_bank(jnp.transpose(ch[:, idx]), rate)
+
+
 @dataclasses.dataclass
 class ChannelDecode:
     channel: int
@@ -111,13 +120,7 @@ def decode_band_ax25(
     if not active:
         return []
 
-    # channel selection + demod bank under ONE jit — ch is complex64 and
-    # eager complex ops are unimplemented on the axon TPU transport
-    @functools.partial(jax.jit, static_argnames=("rate",))
-    def bank_demod(ch, idx, rate):
-        return _afsk_bank(jnp.transpose(ch[:, idx]), rate)
-
-    nrz = bank_demod(ch, jnp.asarray(active), chan_rate)
+    nrz = _bank_demod(ch, jnp.asarray(active), chan_rate)
     vals, mask, _ = recover_symbols_batch(np.asarray(nrz), sps)
     vals, mask = np.asarray(vals), np.asarray(mask)
 

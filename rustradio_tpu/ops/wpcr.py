@@ -198,19 +198,30 @@ def _wpcr_masked(v, m, N: int):
     return mask, sps, clock_phase0, found
 
 
+@functools.lru_cache(maxsize=32)
+def _wpcr_one_fn(n: int, midpoint_first: bool):
+    """Jitted exact path for one burst length (complex FFT must run under
+    jit on the axon transport; one program + ONE readback per length)."""
+
+    def f(v):
+        ok = jnp.asarray(True)
+        if midpoint_first:
+            v, ok = midpoint(v)
+        samples, mask, info = wpcr(v)
+        return samples, mask & ok, info["sps"], info["phase"], info["found"] & ok
+
+    return jax.jit(f)
+
+
 def _wpcr_one_eager(b, midpoint_first: bool):
     """Exact per-burst path for bursts too long for the int32 chirp."""
-    v = jnp.asarray(b, jnp.float32)
-    if midpoint_first:
-        v, ok = midpoint(v)
-        if not bool(np.asarray(ok)):
-            return (np.zeros(0, np.float32),
-                    dict(sps=0.0, phase=0.0, found=False))
-    samples, mask, info = wpcr(v)
-    found = bool(np.asarray(info["found"]))
-    syms = np.asarray(samples)[np.asarray(mask)] if found else np.zeros(0, np.float32)
-    return (syms, dict(sps=float(np.asarray(info["sps"])),
-                       phase=float(np.asarray(info["phase"])), found=found))
+    samples, mask, sps, phase, found = jax.tree.map(
+        np.asarray,
+        _wpcr_one_fn(len(b), midpoint_first)(jnp.asarray(b, jnp.float32)),
+    )
+    if not found:
+        return (np.zeros(0, np.float32), dict(sps=0.0, phase=0.0, found=False))
+    return (samples[mask], dict(sps=float(sps), phase=float(phase), found=True))
 
 
 @functools.lru_cache(maxsize=None)

@@ -149,7 +149,9 @@ def sharded_symbol_sync_bank(xs, sps: float, mesh, axis: str = "chan",
 
     n_sh = mesh.shape[axis]
     if xs.shape[0] % n_sh:
-        raise ValueError(f"channel count {xs.shape[0]} must divide {n_sh} shards")
+        raise ValueError(
+            f"channel count {xs.shape[0]} must be divisible by {n_sh} shards"
+        )
 
     def body(xs_local):
         f = jax.vmap(lambda x: symbol_sync(x, sps, max_deviation, clock_taps)[0])

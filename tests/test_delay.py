@@ -134,3 +134,49 @@ def test_static_delay_fuses_into_segment():
     g.run()
     want = np.concatenate([np.zeros(4, np.float32), np.arange(8, dtype=np.float32) + 1]) * 2
     np.testing.assert_allclose(sink.block.data(), want)
+
+
+def test_static_delay_carries_tags_across_chunks():
+    # reviewer repro: a tag in the last `delay` samples of a chunk must
+    # re-emit in the next chunk, not vanish
+    data = np.arange(128, dtype=np.float32)
+    d = blocks.Delay(10)
+    g = Graph()
+    src = g.add(blocks.VectorSource(data, tags=[Tag(58, "mark", 7)]))
+    sink = g.add(blocks.VectorSink(), g.add(d, src))
+    g.run_stream(chunk_size=64)  # 58 + 10 = 68 >= 64: crosses the boundary
+    marks = [t for t in sink.block.tags() if t.key == "mark"]
+    assert len(marks) == 1 and marks[0].pos == 68, marks
+
+
+def test_static_delay_pause_does_not_flush_tail():
+    # max_chunks is a PAUSE (checkpoint/resume workflow), not EOF: the
+    # carried tail must stay in the state, not drain early
+    data = np.arange(40, dtype=np.float32)
+    g = Graph()
+    sink = g.add(blocks.VectorSink(), g.add(blocks.Delay(5), g.add(blocks.VectorSource(data))))
+    g.run_stream(chunk_size=10, max_chunks=2)
+    assert len(sink.block.data()) == 20  # exactly two chunks, no tail
+
+
+def test_static_delay_checkpoint_resume_no_duplicates(tmp_path):
+    ck = str(tmp_path / "ck.pkl")
+    data = np.arange(40, dtype=np.float32)
+
+    def build():
+        g = Graph()
+        sink = g.add(
+            blocks.VectorSink(),
+            g.add(blocks.Delay(5), g.add(blocks.VectorSource(data))),
+        )
+        return g, sink.block
+
+    g1, s1 = build()
+    g1.run_stream(chunk_size=10)
+    want = s1.data()
+    g2, s2 = build()
+    g2.run_stream(chunk_size=10, max_chunks=2, checkpoint_path=ck, checkpoint_every=2)
+    g3, s3 = build()
+    g3.run_stream(chunk_size=10, resume_from=ck)
+    got = np.concatenate([s2.data(), s3.data()])
+    np.testing.assert_array_equal(got, want)
