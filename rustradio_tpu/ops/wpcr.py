@@ -139,12 +139,18 @@ def _bluestein_dft(d, M, N: int):
     t2 = (t * t) % (2 * M32)
     ang = -jnp.pi * t2.astype(jnp.float32) / M.astype(jnp.float32)
     w = jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+    if N != 2 * L:
+        raise ValueError("bluestein buffer must be exactly 2L")
     valid = t < M32
     a = jnp.where(valid, d, 0.0).astype(jnp.complex64) * w
-    a_pad = jnp.zeros(N, jnp.complex64).at[:L].set(a)
+    a_pad = jnp.concatenate([a, jnp.zeros(L, jnp.complex64)])
     bvals = jnp.where(valid, jnp.conj(w), 0.0)
-    b = jnp.zeros(N, jnp.complex64).at[:L].set(bvals)
-    b = b.at[(N - t) % N].add(jnp.where(t > 0, bvals, 0.0))
+    # circular chirp: b[t] = conj(w[t]) and b[N-t] = conj(w[t]) — with
+    # N == 2L the mirror is a reversed slice (a scatter here compiles
+    # and runs far worse under vmap on TPU)
+    b = jnp.concatenate(
+        [bvals, jnp.zeros(1, jnp.complex64), bvals[1:][::-1]]
+    )
     conv = jnp.fft.ifft(jnp.fft.fft(a_pad) * jnp.fft.fft(b))[:L]
     return w * conv.astype(jnp.complex64)
 
