@@ -431,3 +431,40 @@ def test_run_stream_profile_dir(tmp_path):
     )
     g.run_stream(chunk_size=1 << 12, profile_dir=d)
     assert glob.glob(d + "/**/*.xplane.pb", recursive=True)
+
+
+def test_segments_split_on_compile_group_conflict():
+    # the fuser must never put conv-flavored and pallas-flavored blocks in
+    # one jit program (the TPU compile pathology, Block.compile_group);
+    # groups are set explicitly here since CI runs on CPU
+    g = Graph()
+    a = blocks.AddConst(1.0)
+    b = blocks.MultiplyConst(2.0)
+    c = blocks.AddConst(3.0)
+    d = blocks.MultiplyConst(4.0)
+    b.compile_group = "pallas"
+    c.compile_group = "conv"
+    sink = g.add(
+        blocks.VectorSink(),
+        g.add(d, g.add(c, g.add(b, g.add(a, g.add(
+            blocks.VectorSource(np.arange(16, dtype=np.float32))))))),
+    )
+    segs = g._segments()
+    seg_lists = [[n.block for n in s] for s in segs.values()]
+    for seg in seg_lists:
+        groups = {getattr(x, "compile_group", None) for x in seg} - {None}
+        assert len(groups) <= 1, f"mixed flavors fused: {groups}"
+    # and the graph still computes correctly across the split
+    g.run()
+    np.testing.assert_allclose(
+        sink.block.data(), ((np.arange(16) + 1) * 2 + 3) * 4
+    )
+
+
+def test_segments_fuse_when_groups_agree():
+    g = Graph()
+    b1, b2 = blocks.AddConst(1.0), blocks.MultiplyConst(2.0)
+    b1.compile_group = b2.compile_group = "pallas"
+    g.chain(blocks.VectorSource(np.ones(8, np.float32)), b1, b2, blocks.NullSink())
+    segs = g._segments()
+    assert any(len(s) == 2 for s in segs.values())
