@@ -101,7 +101,6 @@ def pallas_quad_demod(x, gain: float = 1.0, tile_rows: int = 1024):
         )
     n = x.shape[0]
     width = 128
-    chunk = tile_rows * width
     rows_total = -(-n // width)
     pad = rows_total * width - n
     re = jnp.pad(jnp.real(x), (0, pad))
@@ -130,7 +129,6 @@ def pallas_quad_demod(x, gain: float = 1.0, tile_rows: int = 1024):
             (tile_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
     )(as2d(re), as2d(im), as2d(pre), as2d(pim))
-    del chunk
     return out.reshape(-1)[1 : n]
 
 
