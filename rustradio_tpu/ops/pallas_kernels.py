@@ -1,6 +1,6 @@
 """Hand-written Pallas TPU kernels for the hot ops.
 
-Two kernels:
+Three kernels:
 
 * ``pallas_fir_decimate`` — decimating FIR as a banded MXU matmul with
   in-kernel frame construction.  The stream is viewed as rows of 128
@@ -8,18 +8,23 @@ Two kernels:
   ``S_j`` is a deci-strided row slice of the tile's input rows (built in
   VMEM, never materialized in HBM) and ``W_j`` is a precomputed banded
   128x128 weight matrix holding the reversed taps on a ``deci``-pitch
-  diagonal.  HBM traffic is just the input once + output once, so the
-  kernel is memory-bound and beats the overlap-save FFT path (which does
-  ~5*log2(fft) flops/sample on the VPU) for tap counts into the
-  hundreds.
+  diagonal.  HBM traffic is just the input once + output once.  At
+  stride 1 the band is nearly dense, so this also serves LONG filters
+  (~3x the overlap-save FFT path at 1205 taps).
 
-* ``pallas_quad_demod`` — quadrature FM discriminator with a polynomial
-  atan2 (the reference gets ~4x from `fast-math` atan2,
-  src/quadrature_demod.rs:28-29; on TPU the win is smaller since XLA's
-  atan2 is vectorized, but the fused conj-multiply + polynomial keeps
-  everything in VMEM in one pass).
+* ``pallas_fm_chain`` — the whole FM receive chain (banded FIR on both
+  planar f32 I/Q streams + quadrature discriminator with polynomial
+  atan2) in ONE memory pass: two plane reads + one audio write
+  (~9 B/input sample at deci 4).  The headline bench.py kernel.
 
-Both fall back to the XLA ops on non-TPU backends.
+* ``pallas_quad_demod`` — standalone quadrature FM discriminator with a
+  polynomial atan2 (the reference gets ~4x from `fast-math` atan2,
+  src/quadrature_demod.rs:28-29; the fused conj-multiply + polynomial
+  keeps everything in VMEM in one pass).
+
+All fall back to the XLA ops on non-TPU backends.  doc/performance.md
+records the measured rates, the precision rules, and the compile-time
+hazard of mixing these with HIGHEST convs in one program.
 """
 
 from __future__ import annotations
