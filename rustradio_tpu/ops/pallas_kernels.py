@@ -139,27 +139,46 @@ def pallas_quad_demod(x, gain: float = 1.0, tile_rows: int = 1024):
 
 # ---------------------------------------------------------------- FIR
 
-def _fir_band_kernel(xm_ref, xh_ref, w_ref, out_ref, *, deci, nq, rows):
-    # xm: (rows*deci, 128) input rows for this tile; xh: the next tile's
-    # input rows, of which the first nq*deci are the halo; w: banded
-    # weights (nq*deci*128, 128).  Output row r, lane o (the output sample
-    # m = 128*(tile_row0 + r) + o) is
-    #   sum_j X[r*deci + j] @ W_j[:, o]
-    # where X[q][l] = xp[128*q + l] and W_j[l, o] = trev[j*128 + l - deci*o].
-    # The shifts are grouped deci at a time: flattening deci consecutive
-    # input rows to one (deci*128)-long row turns every group into a plain
-    # row slice + contiguous reshape (no sublane-strided relayouts), so a
-    # tile is just nq MXU dots of (rows, deci*128) x (deci*128, 128).
+def _shift_blocks(xm_ref, xh_ref, *, deci, nshift, nq, rows):
+    """The tile's shift blocks: (A, w_row_start, k) triples, all plain
+    lane-aligned slices of the deci-flattened view.
+
+    Output row r, lane o (sample m = 128*(tile_row0 + r) + o) needs input
+    positions p = deci*m .. deci*m + wlen-1, i.e. shift rows s =
+    0..nshift-1 of the (rows+nq, deci*128) flattened view X2, where shift
+    s lives at X2[r + s//deci, 128*(s%deci) : 128*(s%deci+1)].  Full
+    groups of ``deci`` shifts collapse into ONE (rows, deci*128) row slice
+    (q in range(nshift//deci)); the ragged tail shifts are 128-lane
+    column slices.  This keeps K = nshift*128 = ceil((127*deci+wlen)/128)
+    *128 — the banded formulation's minimum — instead of rounding the
+    shift count up to a multiple of deci (r2 did, costing 1.6x MXU work
+    at deci=4/49 taps).  NO concatenation: Mosaic cannot concat slices
+    with different sublane offsets (measured INTERNAL error); each block
+    feeds its own dot and the f32 accumulators add.
+    """
     X = jnp.concatenate([xm_ref[:], xh_ref[: nq * deci]], axis=0)
-    X2 = X.reshape(rows + nq, deci * 128)
-    acc = jnp.zeros((rows, 128), jnp.float32)
     step = deci * 128
-    for q in range(nq):
-        # HIGHEST = bf16x3 passes; the MXU's default single bf16 pass costs
-        # ~0.5% error, far over the framework's 1e-3 parity budget.
+    X2 = X.reshape(rows + nq, step)
+    out = []
+    nfull = nshift // deci
+    for q in range(nfull):
+        out.append((X2[q : q + rows], q * step, step))
+    for s in range(nfull * deci, nshift):
+        q, d = divmod(s, deci)
+        out.append((X2[q : q + rows, 128 * d : 128 * (d + 1)], s * 128, 128))
+    return out
+
+
+def _fir_band_kernel(xm_ref, xh_ref, w_ref, out_ref, *, deci, nshift, nq, rows):
+    # One dot per shift block; HIGHEST = multi-pass bf16 (the MXU's default
+    # single bf16 pass costs ~0.5% error, far over the framework's 1e-3
+    # parity budget).
+    acc = jnp.zeros((rows, 128), jnp.float32)
+    for A, k0, k in _shift_blocks(xm_ref, xh_ref, deci=deci, nshift=nshift,
+                                  nq=nq, rows=rows):
         acc = acc + jnp.dot(
-            X2[q : q + rows],
-            w_ref[q * step : (q + 1) * step],
+            A,
+            w_ref[k0 : k0 + k],
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
@@ -167,19 +186,20 @@ def _fir_band_kernel(xm_ref, xh_ref, w_ref, out_ref, *, deci, nq, rows):
 
 
 def _fir_band_weights(taps: np.ndarray, deci: int):
-    """Banded weight stack ((nq*deci)*128, 128) for the banded kernel."""
+    """Banded weight stack (nshift*128, 128):
+    W[128*s + l, o] = taps_rev[128*s + l - deci*o]."""
     ntaps = len(taps)
     wlen = -(-ntaps // deci) * deci
     trp = np.zeros(wlen, np.float32)
     trp[wlen - ntaps :] = taps[::-1]
     nshift = (deci * 127 + wlen - 1) // 128 + 1
-    nq = -(-nshift // deci)  # shift groups of deci (trailing W_j all-zero)
-    w = np.zeros((nq * deci, 128, 128), np.float32)
-    j, l, o = np.ogrid[: nq * deci, :128, :128]
-    k = j * 128 + l - deci * o
+    nq = -(-nshift // deci)  # halo rows still come in groups of deci
+    w = np.zeros((nshift, 128, 128), np.float32)
+    s, l, o = np.ogrid[:nshift, :128, :128]
+    k = s * 128 + l - deci * o
     valid = (k >= 0) & (k < wlen)
     w[valid] = trp[k[valid]]
-    return wlen, nq, w.reshape(nq * deci * 128, 128)
+    return wlen, nshift, nq, w.reshape(nshift * 128, 128)
 
 
 def pallas_fir_decimate(x, taps, deci: int, tile_rows: int | None = None):
@@ -223,7 +243,7 @@ def pallas_fir_decimate(x, taps, deci: int, tile_rows: int | None = None):
         trp[wlen - ntaps :] = taps[::-1]
         return frames @ jnp.asarray(trp)
 
-    wlen, nq, w = _fir_band_weights(taps, deci)
+    wlen, nshift, nq, w = _fir_band_weights(taps, deci)
     if tile_rows is None:
         # 1024 rows fits the 16 MB scoped-VMEM budget with double
         # buffering and amortizes the grid pipeline best (measured)
@@ -232,7 +252,8 @@ def pallas_fir_decimate(x, taps, deci: int, tile_rows: int | None = None):
     tile_rows += (-tile_rows) % 16  # keep main/halo block rows 8-divisible
     return _banded_call(
         x, w, deci, nq, wlen, tile_rows,
-        functools.partial(_fir_band_kernel, deci=deci, nq=nq, rows=tile_rows),
+        functools.partial(_fir_band_kernel, deci=deci, nshift=nshift, nq=nq,
+                          rows=tile_rows),
     )
 
 
@@ -268,7 +289,7 @@ def _banded_call(x, w, deci, nq, wlen, tile_rows, kern):
                 lambda i: ((i + 1) * hblocks_per_tile, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((nq * deci * 128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(np.shape(w), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
     )(x2d, x2d, jnp.asarray(w))
@@ -279,25 +300,32 @@ def _banded_call(x, w, deci, nq, wlen, tile_rows, kern):
 
 
 def _fm_chain_kernel(off_ref, xr_ref, xrh_ref, xi_ref, xih_ref, w_ref,
-                     out_ref, *, deci, nq, rows, gain, split3):
-    step = deci * 128
+                     out_ref, *, deci, nshift, nq, rows, gain, precision,
+                     tapsum):
+    K = nshift * 128
 
     def fir(xm_ref, xh_ref):
-        X = jnp.concatenate([xm_ref[:], xh_ref[: nq * deci]], axis=0)
-        # input offset (SMEM scalar, normally 0): DC correction, and the
-        # bench hook — a timing loop varies it per iteration so XLA can't
-        # hoist the call, without materializing shifted input copies in HBM
-        X = X + off_ref[0]
-        X2 = X.reshape(rows + nq, step)
         acc = jnp.zeros((rows, 128), jnp.float32)
-        for q in range(nq):
-            A = X2[q : q + rows]
-            W = w_ref[q * step : (q + 1) * step]
-            if split3:
-                # manual hi/lo bf16 split: 3 single-pass MXU dots instead
-                # of HIGHEST's 4 (Mosaic has no HIGH) — ~1.2x faster,
-                # worst-case demod error ~5e-3 rad (atan2 amplification
-                # at near-zero filtered samples)
+        for A, k0, k in _shift_blocks(xm_ref, xh_ref, deci=deci,
+                                      nshift=nshift, nq=nq, rows=rows):
+            if precision in ("w2", "w3"):
+                # bf16-EXACT input path (8-bit-sourced data is exactly
+                # representable in bf16): the only rounding left is on the
+                # static taps, pre-split into 2-3 exact bf16 terms — so
+                # "w3" reaches f32-level accuracy in 3 single MXU passes
+                # (vs HIGHEST's ~4) AND halves the HBM plane traffic.
+                nterms = 2 if precision == "w2" else 3
+                for t in range(nterms):
+                    acc = acc + jnp.dot(
+                        A, w_ref[t * K + k0 : t * K + k0 + k],
+                        preferred_element_type=jnp.float32,
+                    )
+            elif precision == "split3":
+                # manual hi/lo bf16 split of BOTH sides: 3 single-pass MXU
+                # dots instead of HIGHEST's 4 — worst-case demod error
+                # ~3e-3 rad (atan2 amplification at near-zero filtered
+                # samples); fine for constant-modulus FM
+                W = w_ref[k0 : k0 + k]
                 Ah = A.astype(jnp.bfloat16)
                 Al = (A - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
                 Wh = W.astype(jnp.bfloat16)
@@ -308,11 +336,17 @@ def _fm_chain_kernel(off_ref, xr_ref, xrh_ref, xi_ref, xih_ref, w_ref,
             else:
                 acc = acc + jnp.dot(
                     A,
-                    W,
+                    w_ref[k0 : k0 + k],
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-        return acc
+        # input offset (SMEM scalar, normally 0): DC correction, and the
+        # bench hook (varied per timing iteration so XLA can't hoist the
+        # call).  The FIR is linear, so filter(x + c) = filter(x) +
+        # c*sum(taps) — folding POST-dot replaces a full VPU pass over the
+        # input with one scalar multiply-add, and keeps the bf16-exact
+        # input path exact for non-bf16 DC offsets (e.g. rtl-sdr's 127.4).
+        return acc + off_ref[0] * jnp.float32(tapsum)
 
     yr = fir(xr_ref, xrh_ref)
     yi = fir(xi_ref, xih_ref)
@@ -335,6 +369,21 @@ def _fm_chain_kernel(off_ref, xr_ref, xrh_ref, xi_ref, xih_ref, w_ref,
     out_ref[:] = jnp.float32(gain) * fast_atan2(di, dr)
 
 
+def _w_split_bf16(w: np.ndarray, terms: int) -> np.ndarray:
+    """Static exact bf16 split of the weight matrix: w == sum(parts) to
+    ~2^-27 relative (3 x 8 mantissa bits covers f32's 24).  numpy-only so
+    it can run under a jit trace."""
+    import ml_dtypes
+
+    parts = []
+    r = w.astype(np.float32)
+    for _ in range(terms):
+        h = r.astype(ml_dtypes.bfloat16)
+        parts.append(h)
+        r = r - h.astype(np.float32)
+    return np.concatenate([p.reshape(w.shape) for p in parts], axis=0)
+
+
 def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
                     tile_rows: int | None = None, offset=0.0,
                     precision: str = "highest"):
@@ -342,15 +391,31 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
     low-pass + decimate on both I/Q planes, then the quadrature
     discriminator with polynomial atan2 — all in VMEM per tile.
 
-    HBM traffic is the two f32 input planes read once and the f32 audio
-    written once (~9 bytes per input sample at deci=4), vs ~3x that for
-    the separate-kernels path (plane extraction copies + the filtered
-    complex stream round-tripping through HBM between filter and demod).
+    HBM traffic is the two input planes read once and the f32 audio
+    written once (~9 B/input sample at deci=4 for f32 planes, ~5 B for
+    bf16), vs ~3x that for the separate-kernels path.
 
-    Planar f32 inputs (the natural SDR wire format; also what the axon
-    tunnel requires).  Real taps only — callers with complex taps split
-    them.  Output: m-1 samples where m = ceil(n/deci), equal to
+    Planar inputs (the natural SDR wire format; also what the axon tunnel
+    requires).  Real taps only — callers with complex taps split them.
+    Output: m-1 samples where m = ceil(n/deci), equal to
     ``quadrature_demod(fir_decimate(x), gain)``.
+
+    ``precision``:
+
+    * ``"highest"`` (default) — f32 planes, multi-pass bf16 dots; max
+      demod error ~2e-5 rad vs float64.
+    * ``"split3"`` — f32 planes, manual 3-pass hi/lo split; ~3e-3 rad
+      worst case (near-zero filtered samples), fine for constant-modulus
+      FM.
+    * ``"w3"`` / ``"w2"`` — planes are cast to **bf16**; ONLY exact for
+      8-bit-sourced data ((u8 - 127) grids are exactly representable in
+      bf16 — the rtl-sdr wire format, reference src/rtlsdr_decode.rs).
+      The static taps are pre-split into 3 (or 2) exact bf16 terms, so
+      "w3" reaches ~1e-5 rad accuracy in 3 single MXU passes while
+      halving plane HBM traffic: the measured sweet spot (~50 Gsps on
+      v5e vs ~23 for "highest").  "w2" trades to ~2.4e-3 rad for ~59.
+      Any DC offset (e.g. the 127.4 rtl-sdr convention) must ride the
+      ``offset`` scalar — it folds in AFTER the dots, exactly.
     """
     taps = np.asarray(taps)
     if np.iscomplexobj(taps):
@@ -358,25 +423,37 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
             raise ValueError("pallas_fm_chain needs real taps")
         taps = np.real(taps)
     taps = taps.astype(np.float32)
-    xr = jnp.asarray(xr, jnp.float32)
-    xi = jnp.asarray(xi, jnp.float32)
+    exact_input = precision in ("w2", "w3")
+    if exact_input:
+        xr = jnp.asarray(xr).astype(jnp.bfloat16)
+        xi = jnp.asarray(xi).astype(jnp.bfloat16)
+    else:
+        xr = jnp.asarray(xr, jnp.float32)
+        xi = jnp.asarray(xi, jnp.float32)
     n = xr.shape[0]
     off = jnp.asarray(offset, jnp.float32).reshape(1)
+    tapsum = float(np.sum(taps, dtype=np.float64))
     if not _on_tpu():
         y = jax.lax.complex(
-            pallas_fir_decimate(xr + off[0], taps, deci),
-            pallas_fir_decimate(xi + off[0], taps, deci),
+            pallas_fir_decimate(xr.astype(jnp.float32), taps, deci)
+            + off[0] * jnp.float32(tapsum),
+            pallas_fir_decimate(xi.astype(jnp.float32), taps, deci)
+            + off[0] * jnp.float32(tapsum),
         )
         d = jnp.conj(y[:-1]) * y[1:]
         return jnp.float32(gain) * fast_atan2(
             jnp.imag(d).astype(jnp.float32), jnp.real(d).astype(jnp.float32)
         )
 
-    wlen, nq, w = _fir_band_weights(taps, deci)
+    wlen, nshift, nq, w = _fir_band_weights(taps, deci)
+    if exact_input:
+        wmat = jnp.asarray(_w_split_bf16(w, 2 if precision == "w2" else 3))
+    else:
+        wmat = jnp.asarray(w)
     if tile_rows is None:
         # largest tile that fits the 16 MB scoped-VMEM budget with double
-        # buffering (measured: 1024 rows ~ 10 MB live, 2048 OOMs; bigger
-        # tiles amortize the grid pipeline ~1.6x over 512)
+        # buffering (measured: 1024 rows ~ 10 MB live, 2048 OOMs at f32;
+        # bigger tiles amortize the grid pipeline ~1.6x over 512)
         tile_rows = 1024
     tile_rows = max(tile_rows, nq)
     tile_rows += (-tile_rows) % 16
@@ -384,8 +461,8 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
     xi2d, _, _, _ = _banded_tiling(xi, deci, nq, wlen, tile_rows)
     hblocks_per_tile = tile_rows * deci // hrows
     kern = functools.partial(
-        _fm_chain_kernel, deci=deci, nq=nq, rows=tile_rows, gain=gain,
-        split3=(precision == "split3"),
+        _fm_chain_kernel, deci=deci, nshift=nshift, nq=nq, rows=tile_rows,
+        gain=gain, precision=precision, tapsum=tapsum,
     )
     main_spec = pl.BlockSpec(
         (tile_rows * deci, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -404,14 +481,12 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
             halo_spec,
             main_spec,
             halo_spec,
-            pl.BlockSpec(
-                (nq * deci * 128, 128), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(wmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-    )(off, xr2d, xr2d, xi2d, xi2d, jnp.asarray(w))
+    )(off, xr2d, xr2d, xi2d, xi2d, wmat)
     audio = audio.reshape(-1)
     if g > 1:
         # Cross-tile boundary outputs (one per tile seam): recompute the
