@@ -97,6 +97,9 @@ class Graph:
         self._stats: dict[int, float] = {}
         self._jit_cache: dict[tuple[int, str], Any] = {}
         self._costs: dict[int, dict[str, float]] = {}
+        # wall time matching each cost entry (segments: FULL program time,
+        # not the per-member split used in the stats column)
+        self._cost_time: dict[int, float] = {}
         self._cost_seen: dict = {}
         self._profiling = False
 
@@ -292,13 +295,13 @@ class Graph:
                     ext_out.append(key)
         return ext_in, ext_out
 
-    def _segment_fn(self, seg: list[Node], streaming: bool):
-        """Jitted composite over the whole segment (cached)."""
-        key = (seg[0].idx, "chunk" if streaming else "apply")
+    def _segment_raw(self, seg: list[Node], streaming: bool):
+        """Unjitted composite over the whole segment (cached): the single
+        traceable function the jit/scan wrappers build on."""
+        key = (seg[0].idx, "raw_chunk" if streaming else "raw_apply")
         cached = self._jit_cache.get(key)
         if cached is not None:
             return cached
-        import jax
 
         ext_in, ext_out = self._segment_io(seg)
 
@@ -324,16 +327,78 @@ class Graph:
                 vals, _ = run_body(dict(zip(ext_in, args)), None)
                 return tuple(vals[k] for k in ext_out)
 
+        cached = (ext_in, ext_out, fn)
+        self._jit_cache[key] = cached
+        return cached
+
+    def _segment_fn(self, seg: list[Node], streaming: bool):
+        """Jitted composite over the whole segment (cached)."""
+        key = (seg[0].idx, "chunk" if streaming else "apply")
+        cached = self._jit_cache.get(key)
+        if cached is not None:
+            return cached
+        import jax
+
+        ext_in, ext_out, raw = self._segment_raw(seg, streaming)
+        cached = (ext_in, ext_out, jax.jit(raw))
+        self._jit_cache[key] = cached
+        return cached
+
+    def _segment_scan_fn(self, seg: list[Node]):
+        """ONE compiled program advancing a segment over a whole stack of
+        chunks: ``lax.scan`` with the segment's state pytree as carry —
+        the SURVEY §7 scan-over-blocks streaming form.  One dispatch per
+        batch instead of per chunk (reference analog: the single hot
+        ``Graph::run`` loop, src/graph.rs:99-173)."""
+        key = (seg[0].idx, "scan")
+        cached = self._jit_cache.get(key)
+        if cached is not None:
+            return cached
+        import jax
+
+        ext_in, ext_out, raw = self._segment_raw(seg, True)
+
+        def fn(states, *stacked):
+            def body(st, args):
+                new_st, outs = raw(st, *args)
+                return new_st, outs
+
+            return jax.lax.scan(body, states, tuple(stacked))
+
         cached = (ext_in, ext_out, jax.jit(fn))
         self._jit_cache[key] = cached
         return cached
+
+    def _node_scan_fn(self, node: Node):
+        """Scan-over-chunks form of a single (unfused) device block."""
+        key = (node.idx, "scan")
+        f = self._jit_cache.get(key)
+        if f is None:
+            import jax
+
+            step = node.block.apply_chunk
+
+            def fn(state, *stacked):
+                def body(st, args):
+                    new_st, out = step(st, *args)
+                    return new_st, out
+
+                return jax.lax.scan(body, state, tuple(stacked))
+
+            f = jax.jit(fn)
+            self._jit_cache[key] = f
+        return f
 
     def _segment_lens(self, seg, ext_in, args, states=None):
         """Static per-node output lengths (for tag rescaling) via
         eval_shape — no interior arrays are ever materialized."""
         import jax
 
-        sig = tuple((tuple(np.shape(a)), str(getattr(a, "dtype", type(a)))) for a in args)
+        def _sig_shape(a):
+            s = getattr(a, "shape", None)
+            return tuple(s) if s is not None else tuple(np.shape(a))
+
+        sig = tuple((_sig_shape(a), str(getattr(a, "dtype", type(a)))) for a in args)
         if states is not None:
             import jax
 
@@ -378,7 +443,12 @@ class Graph:
             else:
                 seg_states = {n.idx: states[n.idx] for n in seg}
                 new_states, outs = fn(seg_states, *args)
-        dt = (time.perf_counter() - t0) / len(seg)
+        elapsed = time.perf_counter() - t0
+        dt = elapsed / len(seg)
+        # the whole-program cost entry lives on the first member; record the
+        # segment's FULL elapsed time with it so GB/s isn't inflated by the
+        # per-member time split below
+        self._cost_time[seg[0].idx] = self._cost_time.get(seg[0].idx, 0.0) + elapsed
         if states is None:
             self._record_cost(seg[0].idx, fn, tuple(args))
         else:
@@ -447,14 +517,12 @@ class Graph:
                     if hasattr(b, "accept_tags"):
                         b.accept_tags(in_tags[0], 0)
                     out = None
-            if hasattr(b, "flush_with_state"):
+            if states is not None and hasattr(b, "flush_with_state"):
                 # blocks whose pending output lives in the carried state
-                # (e.g. static Delay's tail); offline mode has no pending
-                fout = (
-                    b.flush_with_state(states.get(node.idx))
-                    if states is not None
-                    else None
-                )
+                # (e.g. static Delay's tail, StreamToPdu's clipped burst) —
+                # reading the passed state keeps flush correct across
+                # checkpoint/resume, where instance attributes are fresh
+                fout = b.flush_with_state(states.get(node.idx))
             else:
                 fout = b.flush() if hasattr(b, "flush") else None
             if out is None and fout is None:
@@ -559,6 +627,7 @@ class Graph:
         checkpoint_every: int = 0,
         resume_from: str | None = None,
         profile_dir: str | None = None,
+        scan_chunks: int | None = None,
     ):
         """Streaming mode: fixed-size chunks with carried block state.
 
@@ -566,6 +635,15 @@ class Graph:
         pytrees and the stream offset are snapshotted every k chunks;
         ``resume_from`` restarts from such a snapshot.  ``profile_dir``
         writes a jax.profiler (xprof) trace with ``rr::`` regions.
+
+        ``scan_chunks=B`` enables the compiled streaming runner: after one
+        warm-up chunk (which fixes lazily-typed state shapes), device
+        segments advance over batches of up to B chunks in ONE
+        ``lax.scan`` program each — one dispatch per batch instead of per
+        chunk (SURVEY §7's scan-over-blocks stance; the reference analog is
+        the single hot ``Graph::run`` loop, src/graph.rs:99-173).  Host
+        blocks still see chunks one at a time, in order, so semantics are
+        identical; checkpoints land on batch boundaries.
         """
         import contextlib
 
@@ -574,7 +652,7 @@ class Graph:
         try:
             self._run_stream_inner(
                 chunk_size, max_chunks, checkpoint_path, checkpoint_every,
-                resume_from,
+                resume_from, scan_chunks,
             )
         finally:
             _pstack.close()
@@ -587,6 +665,7 @@ class Graph:
         checkpoint_path: str | None,
         checkpoint_every: int,
         resume_from: str | None,
+        scan_chunks: int | None = None,
     ):
         sources = [n for n in self.nodes if isinstance(n.block, SourceBlock)]
         if not sources:
@@ -623,6 +702,12 @@ class Graph:
                     f"checkpoint was taken on a different graph: "
                     f"{extra['blocks']} vs {names}"
                 )
+            # restore host-side block state (e.g. Delay's carried tag
+            # queue) that can't live in the jitted state pytree
+            for n in self.nodes:
+                hs = extra.get("host", {}).get(n.idx)
+                if hs is not None and hasattr(n.block, "restore_host_state"):
+                    n.block.restore_host_state(hs)
         chunk_count = 0
         out_offsets: dict[int, int] = {}
         ended = False  # true end-of-stream (vs a max_chunks/cancel pause)
@@ -641,6 +726,37 @@ class Graph:
             ):
                 ended = True
                 break
+            # compiled scan batches: after the warm-up chunk fixed the state
+            # shapes, advance whole batches of full-size chunks per dispatch
+            nb = 0
+            if scan_chunks and scan_chunks > 1 and chunk_count >= 1:
+                nb = min(scan_chunks, (total - offset) // chunk_size)
+                if max_chunks is not None:
+                    nb = min(nb, max_chunks - chunk_count)
+            if nb >= 2:
+                self._run_batch(nb, chunk_size, offset, states, out_offsets)
+                before = chunk_count
+                offset += nb * chunk_size
+                chunk_count += nb
+                if (
+                    checkpoint_path
+                    and checkpoint_every
+                    and before // checkpoint_every != chunk_count // checkpoint_every
+                ):
+                    from .utils.checkpoint import save_checkpoint
+
+                    save_checkpoint(
+                        checkpoint_path, states, offset,
+                        extra={
+                            "blocks": [n.block.name() for n in self.nodes],
+                            "host": {
+                                n.idx: n.block.host_state()
+                                for n in self.nodes
+                                if hasattr(n.block, "host_state")
+                            },
+                        },
+                    )
+                continue
             n_chunk = min(chunk_size, total - offset)
             values: dict[tuple[int, int], Any] = {}
             tags: dict[tuple[int, int], list[Tag]] = {}
@@ -674,8 +790,12 @@ class Graph:
                 with self._annotate(b.name()):
                     if b.domain == "device" and b.n_out > 0 and b.jit_chunk:
                         fn = self._device_call(node, "apply_chunk")
-                        states[node.idx], out = fn(states[node.idx], *xs)
-                        self._record_cost(node.idx, fn, (states[node.idx], *xs))
+                        # capture the INPUT state: recording with the output
+                        # state would lower a different program for blocks
+                        # whose state shape changes on the first chunk
+                        st_in = states[node.idx]
+                        states[node.idx], out = fn(st_in, *xs)
+                        self._record_cost(node.idx, fn, (st_in, *xs))
                     else:
                         states[node.idx], out = b.apply_chunk(states[node.idx], *xs)
                 self._stats[node.idx] = self._stats.get(node.idx, 0.0) + (
@@ -705,7 +825,14 @@ class Graph:
 
                 save_checkpoint(
                     checkpoint_path, states, offset,
-                    extra={"blocks": [n.block.name() for n in self.nodes]},
+                    extra={
+                        "blocks": [n.block.name() for n in self.nodes],
+                        "host": {
+                            n.idx: n.block.host_state()
+                            for n in self.nodes
+                            if hasattr(n.block, "host_state")
+                        },
+                    },
                 )
         # Drain end-of-stream outputs ONLY at a true EOF: a max_chunks or
         # cancellation pause keeps pending state (tails, open bursts) in
@@ -716,6 +843,261 @@ class Graph:
         for node in self.nodes:
             if hasattr(node.block, "finish"):
                 node.block.finish()
+
+    def _scan_precheck(self, key, raw, states_in, sds_args) -> bool:
+        """A segment/block can scan only if its state pytree is shape-
+        invariant chunk-to-chunk (lax.scan carry contract).  Cheap cached
+        eval_shape check; blocks with cyclic carry shapes (e.g. FirFilter
+        with deci not dividing the chunk) fall back to per-chunk programs."""
+        ck = (key, "scan_ok")
+        cached = self._jit_cache.get(ck)
+        if cached is None:
+            import jax
+
+            try:
+                new_sd = jax.eval_shape(raw, states_in, *sds_args)[0]
+                tu = jax.tree_util
+                cached = tu.tree_structure(new_sd) == tu.tree_structure(states_in) and [
+                    tuple(l.shape) for l in tu.tree_leaves(new_sd)
+                ] == [tuple(np.shape(l)) for l in tu.tree_leaves(states_in)]
+            except Exception:
+                cached = False
+            self._jit_cache[ck] = cached
+        return cached
+
+    def _run_batch(self, nb: int, chunk_size: int, offset: int,
+                   states: dict, out_offsets: dict) -> None:
+        """Advance the whole graph by ``nb`` full chunks with ONE dispatch
+        per device segment (lax.scan over the stacked chunks).  Host blocks
+        see the chunks one at a time, in stream order, so every stateful
+        host machine behaves exactly as in the per-chunk path."""
+        import jax
+
+        # values: stacked jax array (leading dim nb) for device producers,
+        # or a per-chunk list for host/source producers
+        values: dict[tuple[int, int], Any] = {}
+        host_view: dict[tuple[int, int], Any] = {}  # lazy per-chunk host cache
+        tags: dict[tuple[int, int], list[list[Tag]]] = {}
+
+        def as_stacked(key):
+            v = values[key]
+            if isinstance(v, list):
+                if v and isinstance(v[0], jax.Array):
+                    # device chunks from a fallback path: stack on device
+                    # (eager np.stack would read complex arrays back)
+                    f = self._jit_cache.get(("stack", len(v)))
+                    if f is None:
+                        f = jax.jit(lambda *cs: jax.numpy.stack(cs))
+                        self._jit_cache[("stack", len(v))] = f
+                    return f(*v)
+                return _stage_for("device", np.stack([np.asarray(c) for c in v]))
+            return v
+
+        def chunk_of(key, bi, domain):
+            v = values[key]
+            if isinstance(v, list):
+                return _stage_for(domain, v[bi])
+            if domain == "device":
+                return v[bi]  # device-side slice of the stacked output
+            hv = host_view.get(key)
+            if hv is None:
+                # one readback for the whole stack (complex-safe)
+                hv = host_view[key] = _stage_for("host", v)
+            return hv[bi]
+
+        def is_uniform(key):
+            """True if the value can be stacked: every chunk has one shape."""
+            v = values[key]
+            if not isinstance(v, list):
+                return True
+            shapes = [getattr(c, "shape", None) for c in v]
+            return shapes[0] is not None and all(s == shapes[0] for s in shapes)
+
+        def in_tags_of(node, bi):
+            return [
+                tags.get((p.node.idx, p.index), [[] for _ in range(nb)])[bi]
+                for p in node.inputs
+            ]
+
+        def chunk_sds(a):
+            return jax.ShapeDtypeStruct(a.shape[1:], a.dtype)
+
+        segs = self._segments()
+        for node in self._topo():
+            b = node.block
+            seg_first = self._seg_member.get(node.idx)
+            if seg_first is not None and seg_first != node.idx:
+                continue
+            if seg_first is not None:
+                seg = segs[seg_first]
+                _, _, raw = self._segment_raw(seg, True)
+                ext_in, ext_out, fn = self._segment_scan_fn(seg)
+                uniform = all(is_uniform(k) for k in ext_in)
+                seg_states = {n.idx: states[n.idx] for n in seg}
+                seg_name = "+".join(n.block.name() for n in seg[:3]) + (
+                    f"+{len(seg)-3}" if len(seg) > 3 else ""
+                )
+                t0 = time.perf_counter()
+                scannable = False
+                if uniform:
+                    args = [as_stacked(k) for k in ext_in]
+                    sds_args = [chunk_sds(a) for a in args]
+                    scannable = self._scan_precheck(
+                        ("seg", seg[0].idx), raw, seg_states, sds_args
+                    )
+                if scannable:
+                    lens_per_chunk = [
+                        self._segment_lens(seg, ext_in, sds_args, states=seg_states)
+                    ] * nb
+                    with self._annotate(f"scan:{seg_name}"):
+                        new_states, outs = fn(seg_states, *args)
+                    states.update(new_states)
+                    for k, o in zip(ext_out, outs):
+                        values[k] = o
+                    self._record_cost(seg[0].idx, fn, (seg_states,) + tuple(args))
+                else:
+                    # carry or chunk shapes vary chunk-to-chunk: per-chunk
+                    # programs inside the batch (correct, not one-dispatch)
+                    _, _, fnc = self._segment_fn(seg, streaming=True)
+                    collected = {k: [] for k in ext_out}
+                    lens_per_chunk = []
+                    for bi in range(nb):
+                        xs = [chunk_of(k, bi, "device") for k in ext_in]
+                        seg_states = {n.idx: states[n.idx] for n in seg}
+                        lens_per_chunk.append(
+                            self._segment_lens(seg, ext_in, xs, states=seg_states)
+                        )
+                        with self._annotate(f"segment:{seg_name}"):
+                            new_states, outs = fnc(seg_states, *xs)
+                        states.update(new_states)
+                        for k, o in zip(ext_out, outs):
+                            collected[k].append(o)
+                        self._record_cost(seg[0].idx, fnc, (seg_states,) + tuple(xs))
+                    for k in ext_out:
+                        values[k] = collected[k]
+                elapsed = time.perf_counter() - t0
+                self._cost_time[seg[0].idx] = (
+                    self._cost_time.get(seg[0].idx, 0.0) + elapsed
+                )
+                for n in seg:
+                    self._stats[n.idx] = self._stats.get(n.idx, 0.0) + (
+                        elapsed / len(seg)
+                    )
+                for n in seg:
+                    per_port: list[list[list[Tag]]] = [
+                        [] for _ in range(max(n.block.n_out, 1))
+                    ]
+                    for bi in range(nb):
+                        ots = n.block.process_tags(
+                            in_tags_of(n, bi), lens_per_chunk[bi][n.idx]
+                        )
+                        for i, ot in enumerate(ots):
+                            per_port[i].append(ot)
+                    for i, pp in enumerate(per_port):
+                        tags[(n.idx, i)] = pp
+                continue
+            if isinstance(b, SourceBlock):
+                t0 = time.perf_counter()
+                values[(node.idx, 0)] = [
+                    b.emit(offset + bi * chunk_size, chunk_size) for bi in range(nb)
+                ]
+                tags[(node.idx, 0)] = [
+                    b.emit_tags(offset + bi * chunk_size, chunk_size)
+                    for bi in range(nb)
+                ]
+                self._stats[node.idx] = self._stats.get(node.idx, 0.0) + (
+                    time.perf_counter() - t0
+                )
+                continue
+            if b.domain == "device" and b.n_out > 0 and b.jit_chunk:
+                keys = [(p.node.idx, p.index) for p in node.inputs]
+                uniform = all(is_uniform(k) for k in keys)
+                st_in = states[node.idx]
+                t0 = time.perf_counter()
+                scannable = False
+                if uniform:
+                    args = [as_stacked(k) for k in keys]
+                    sds_args = [chunk_sds(a) for a in args]
+                    scannable = self._scan_precheck(
+                        ("node", node.idx), b.apply_chunk, st_in, sds_args
+                    )
+                if scannable:
+                    fn = self._node_scan_fn(node)
+                    with self._annotate(f"scan:{b.name()}"):
+                        states[node.idx], out = fn(st_in, *args)
+                    self._record_cost(node.idx, fn, (st_in,) + tuple(args))
+                    outs = out if isinstance(out, tuple) else (out,)
+                    outs_per_port = list(outs)  # stacked
+                    _, sds = jax.eval_shape(b.apply_chunk, st_in, *sds_args)
+                    sds = sds if isinstance(sds, tuple) else (sds,)
+                    lens_pc = [
+                        [sd.shape[0] if sd.shape else 0 for sd in sds]
+                    ] * nb
+                else:
+                    fnc = self._device_call(node, "apply_chunk")
+                    collected = [[] for _ in range(b.n_out)]
+                    lens_pc = []
+                    for bi in range(nb):
+                        xs = [chunk_of(k, bi, "device") for k in keys]
+                        st_b = states[node.idx]
+                        _, sds = jax.eval_shape(b.apply_chunk, st_b, *xs)
+                        sds = sds if isinstance(sds, tuple) else (sds,)
+                        lens_pc.append(
+                            [sd.shape[0] if sd.shape else 0 for sd in sds]
+                        )
+                        with self._annotate(b.name()):
+                            states[node.idx], out = fnc(st_b, *xs)
+                        self._record_cost(node.idx, fnc, (st_b,) + tuple(xs))
+                        outs = out if isinstance(out, tuple) else (out,)
+                        for i, o in enumerate(outs):
+                            collected[i].append(o)
+                    outs_per_port = collected  # per-chunk lists
+                elapsed = time.perf_counter() - t0
+                self._stats[node.idx] = self._stats.get(node.idx, 0.0) + elapsed
+                self._cost_time[node.idx] = (
+                    self._cost_time.get(node.idx, 0.0) + elapsed
+                )
+                per_port = [[] for _ in range(max(b.n_out, 1))]
+                for bi in range(nb):
+                    ots = b.process_tags(in_tags_of(node, bi), lens_pc[bi])
+                    for i, ot in enumerate(ots):
+                        per_port[i].append(ot)
+                for i, (o, pp) in enumerate(zip(outs_per_port, per_port)):
+                    values[(node.idx, i)] = o
+                    tags[(node.idx, i)] = pp
+                continue
+            # host block (incl. sinks): chunks one at a time, in order
+            keys = [(p.node.idx, p.index) for p in node.inputs]
+            per_port = [[] for _ in range(max(b.n_out, 1))]
+            per_port_tags = [[] for _ in range(max(b.n_out, 1))]
+            t0 = time.perf_counter()
+            for bi in range(nb):
+                xs = [chunk_of(k, bi, b.domain) for k in keys]
+                itags = in_tags_of(node, bi)
+                if hasattr(b, "set_tags") and itags:
+                    b.set_tags(itags[0])
+                with self._annotate(b.name()):
+                    states[node.idx], out = b.apply_chunk(states[node.idx], *xs)
+                if b.n_out == 0:
+                    if hasattr(b, "accept_tags") and itags:
+                        b.accept_tags(itags[0], out_offsets.get(node.idx, 0))
+                        out_offsets[node.idx] = out_offsets.get(node.idx, 0) + len(
+                            xs[0]
+                        )
+                    continue
+                outs = out if isinstance(out, tuple) else (out,)
+                out_lens = [len(o) if hasattr(o, "__len__") else 0 for o in outs]
+                ots = b.process_tags(itags, out_lens)
+                for i, (o, ot) in enumerate(zip(outs, ots)):
+                    per_port[i].append(o)
+                    per_port_tags[i].append(ot)
+            self._stats[node.idx] = self._stats.get(node.idx, 0.0) + (
+                time.perf_counter() - t0
+            )
+            if b.n_out > 0:
+                for i in range(b.n_out):
+                    values[(node.idx, i)] = per_port[i]
+                    tags[(node.idx, i)] = per_port_tags[i]
 
     # ---- stats ----
     def generate_stats(self) -> str:
@@ -742,7 +1124,7 @@ class Graph:
                     import jax
 
                     roof = device_hbm_gbps(jax.devices()[0])
-                gbps = c["bytes"] / max(t, 1e-12) / 1e9
+                gbps = c["bytes"] / max(self._cost_time.get(node.idx, t), 1e-12) / 1e9
                 row += (
                     f" {c['flops']/1e9:>8.3f} {c['bytes']/1e9:>6.3f}"
                     f" {gbps:>6.1f} {100*gbps/roof:>5.1f}"

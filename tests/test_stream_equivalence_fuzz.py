@@ -48,8 +48,9 @@ def _random_chain(rng):
     return factories
 
 
+@pytest.mark.parametrize("scan", [None, 4])
 @pytest.mark.parametrize("seed", range(12))
-def test_random_chain_stream_equals_offline(seed):
+def test_random_chain_stream_equals_offline(seed, scan):
     rng = np.random.RandomState(seed)
     factories = _random_chain(rng)
     data = rng.randn(rng.randint(500, 3000)).astype(np.float32)
@@ -62,7 +63,7 @@ def test_random_chain_stream_equals_offline(seed):
             node = g.add(f(), node)
         sink = g.add(blocks.VectorSink(), node)
         if streaming:
-            g.run_stream(chunk_size=chunk)
+            g.run_stream(chunk_size=chunk, scan_chunks=scan)
         else:
             g.run()
         return sink.block.data()
