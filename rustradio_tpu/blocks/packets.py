@@ -248,19 +248,28 @@ class StreamToPdu(Block):
         self._last_state = new_state
         return new_state, pdus
 
-    def flush(self):
+    def flush_with_state(self, state):
         """End-of-stream drain: a burst whose TAIL was clipped by EOF is
         filed truncated (it already saw its end tag — dropping it would
         lose a complete packet).  An unterminated PACKET-state burst is
         still dropped, like the reference waiting forever for the end tag.
+
+        Streaming mode passes the carried state pytree, so the drain is
+        correct even right after a checkpoint resume (when ``_last_state``
+        on the fresh instance is None).
         """
-        s = self._last_state
-        self._last_state = None
+        s = state
         if s is None or s["mode"] != self.TAIL or s["buf"] is None:
             return None
         if len(s["buf"]) > self.max_size:
             return None
-        return [Pdu(s["buf"], list(s["tags"]))]
+        return [Pdu(np.asarray(s["buf"]), list(s["tags"]))]
+
+    def flush(self):
+        # offline mode: apply() left the machine's end state on the instance
+        s = self._last_state
+        self._last_state = None
+        return self.flush_with_state(s)
 
     def apply(self, x):
         # Offline mode runs the same machine over the whole stream; the

@@ -41,6 +41,12 @@ class RationalResampler(Block):
         g = math.gcd(interp, deci)
         self.interp = interp // g
         self.deci = deci // g
+        # ops.rational_resampler's pure-decimation path lowers to a Pallas
+        # kernel on TPU; flavor the block so the fuser never co-compiles it
+        # with a HIGHEST conv (pathological XLA compile, see graph._segments)
+        from ..ops.pallas_kernels import _on_tpu
+
+        self.compile_group = "pallas" if _on_tpu() else None
 
     def apply(self, x):
         return ops.rational_resampler(x, self.interp, self.deci)
@@ -140,6 +146,15 @@ class Delay(Block):
         if self.dynamic or state is None or self.delay == 0:
             return None
         return state
+
+    # carried tags ride host-side (the state pytree is jitted); expose
+    # them to checkpoints so tags in a chunk's last `delay` samples
+    # survive a checkpoint/resume boundary
+    def host_state(self):
+        return list(self._carried_tags)
+
+    def restore_host_state(self, hs):
+        self._carried_tags = list(hs)
 
     def apply(self, x):
         if not self.dynamic:

@@ -109,3 +109,77 @@ def test_stream_resume_through_symbol_sync(tmp_path):
 
     resumed = np.concatenate([s2.data(), s3.data()])
     assert np.array_equal(resumed, s1.data())
+
+
+def test_resume_preserves_delay_carried_tags(tmp_path):
+    # A tag in the last `delay` samples of the checkpointed chunk rides
+    # Delay's carried tail; it must re-emit after resume (ADVICE r2: the
+    # carried tag queue is host-side state captured via host_state()).
+    from rustradio_tpu.streams import Tag
+
+    x = np.arange(1000, dtype=np.float32)
+    tags = [Tag(240, "mark", 1), Tag(740, "mark", 2)]
+    ckpt = str(tmp_path / "d.npz")
+
+    def build():
+        g = Graph()
+        s = blocks.VectorSink()
+        g.chain(blocks.VectorSource(x, tags=tags), blocks.Delay(30), s)
+        return g, s
+
+    g1, s1 = build()
+    g1.run_stream(chunk_size=250)
+
+    g2, s2 = build()
+    # tag at 240 + delay 30 = position 270 -> rides the tail out of chunk 0
+    g2.run_stream(chunk_size=250, max_chunks=1, checkpoint_path=ckpt,
+                  checkpoint_every=1)
+    g3, s3 = build()
+    g3.run_stream(chunk_size=250, resume_from=ckpt)
+
+    resumed = np.concatenate([s2.data(), s3.data()])
+    np.testing.assert_allclose(resumed, s1.data())
+    want = [(t.pos, t.key, t.val) for t in s1.tags() if t.key == "mark"]
+    got2 = [(t.pos, t.key, t.val) for t in s2.tags() if t.key == "mark"]
+    got3 = [(t.pos + len(s2.data()), t.key, t.val) for t in s3.tags()
+            if t.key == "mark"]
+    assert got2 + got3 == want
+    assert want  # the marks actually propagated
+
+
+def test_resume_flushes_clipped_burst(tmp_path):
+    # A burst whose TAIL spans the checkpoint boundary and is then clipped
+    # by EOF must still be filed after a resume (flush_with_state reads the
+    # restored state pytree, not the fresh instance's _last_state).
+    from rustradio_tpu.streams import Tag
+
+    x = np.arange(500, dtype=np.float32)
+    # burst: start@100 end@430, tail of 100 clipped by EOF at 500
+    tags = [Tag(100, "burst", True), Tag(430, "burst", False)]
+    ckpt = str(tmp_path / "b.npz")
+
+    def build():
+        g = Graph()
+        s = blocks.PduVectorSink()
+        g.chain(
+            blocks.VectorSource(x, tags=tags),
+            blocks.StreamToPdu("burst", max_size=100_000, tail=100),
+            s,
+        )
+        return g, s
+
+    g1, s1 = build()
+    g1.run_stream(chunk_size=100)
+    assert len(s1.pdus()) == 1  # the clipped burst filed at EOF
+
+    # Checkpoint lands exactly at EOF (max_chunks pauses before the flush):
+    # the resumed graph sees no further chunks, so its flush MUST read the
+    # restored state pytree — the fresh instance's _last_state is None.
+    g2, s2 = build()
+    g2.run_stream(chunk_size=125, max_chunks=4, checkpoint_path=ckpt,
+                  checkpoint_every=4)
+    g3, s3 = build()
+    g3.run_stream(chunk_size=125, resume_from=ckpt)
+
+    assert len(s3.pdus()) == 1
+    np.testing.assert_array_equal(s3.pdus()[0].data, s1.pdus()[0].data)
