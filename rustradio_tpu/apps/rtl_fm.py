@@ -22,7 +22,8 @@ from .. import ops
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("-r", "--read", required=True,
-                   help="IQ capture file, or 'sim' for the loopback SDR driver")
+                   help="IQ capture file, 'sim' for the loopback SDR driver, "
+                        "or 'rtl[:index]' for a live RTL-SDR via pyrtlsdr")
     p.add_argument("--sample_rate", type=parse_frequency, default=1_024_000.0)
     p.add_argument("--audio_rate", type=parse_frequency, default=48_000.0)
     p.add_argument("--cutoff", type=parse_frequency, default=100_000.0)
@@ -38,7 +39,22 @@ def main(argv=None) -> int:
                    help="sim mode: capture length")
     opt = p.parse_args(argv)
 
-    if opt.read == "sim":
+    if opt.read == "rtl" or opt.read.startswith("rtl:"):
+        from ..hw import RtlDriver, SdrSource
+
+        idx = int(opt.read.split(":", 1)[1]) if ":" in opt.read else 0
+        drv = RtlDriver(
+            frequency=float(opt.frequency),
+            sample_rate=float(opt.sample_rate),
+            gain=1.0,
+            device_index=idx,
+        )
+        src = SdrSource(drv)
+        iq = np.asarray(src.emit(0, int(opt.seconds * opt.sample_rate)))
+        for t in src.emit_tags(0, len(iq)):
+            print(f"tag {t.key} = {t.val}", file=sys.stderr)
+        drv.close()
+    elif opt.read == "sim":
         from ..hw import SdrSource, SimDriver
         from ..hw.driver import parse_sim_tone
 

@@ -12,6 +12,7 @@ with real hardware only needs a driver adapter (see hw/soapy.py).
 """
 
 from .driver import SdrDriver, SimDriver
+from .rtl import RtlDriver
 from .source import RtlSdrControl, RtlSdrSource, SdrControl, SdrSource
 from .sink import AudioSink, SdrSink
 from .soapy import SoapySdrSink, SoapySdrSource
@@ -22,6 +23,7 @@ __all__ = [
     "PipewireSink",
     "PipewireSource",
     "RtlSdrControl",
+    "RtlDriver",
     "RtlSdrSource",
     "SdrControl",
     "SdrDriver",

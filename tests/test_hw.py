@@ -234,3 +234,83 @@ def test_fm_receive_from_sim_driver():
     y = sink.block.data()
     # demodulated output is a sine at audio_f
     assert abs(abs(_peak_freq(y[1000:9192], fs)) - audio_f) < 40
+
+
+def test_rtl_driver_contract(monkeypatch):
+    """RtlDriver over a fake pyrtlsdr module: the adapter must follow the
+    SdrDriver contract the way SimDriver does — normalized gain mapped
+    onto the dongle's supported gain list, retunes forwarded, complex64
+    reads, stream-time time_ns (reference src/rtlsdr_source.rs:28-57)."""
+    import sys
+    import types
+
+    calls = []
+
+    class FakeRtlSdr:
+        valid_gains_db = [0.0, 9.7, 20.7, 33.8, 49.6]
+
+        def __init__(self, device_index=0):
+            calls.append(("open", device_index))
+            self._props = {}
+
+        def __setattr__(self, k, v):
+            if k in ("sample_rate", "center_freq", "gain"):
+                calls.append((k, v))
+            object.__setattr__(self, k, v)
+
+        def read_samples(self, n):
+            assert n % 512 == 0  # librtlsdr buffer-size rule
+            t = np.arange(n)
+            return (np.exp(2j * np.pi * 0.01 * t) * 0.5).astype(np.complex128)
+
+        def close(self):
+            calls.append(("close", None))
+
+    fake = types.ModuleType("rtlsdr")
+    fake.RtlSdr = FakeRtlSdr
+    monkeypatch.setitem(sys.modules, "rtlsdr", fake)
+
+    from rustradio_tpu.hw.rtl import RtlDriver
+
+    drv = RtlDriver(frequency=144.8e6, sample_rate=1.024e6, gain=0.4,
+                    device_index=1)
+    assert ("open", 1) in calls
+    assert ("sample_rate", 1.024e6) in calls
+    assert ("center_freq", 144.8e6) in calls
+    # 0.4 * 50 = 20 dB -> nearest supported gain 20.7
+    assert ("gain", 20.7) in calls
+
+    x = drv.read(1000)
+    assert x.dtype == np.complex64 and len(x) == 1000
+    assert drv.time_ns() == int(1000 / 1.024e6 * 1e9)
+
+    # control-plane retune path used by SdrSource._drain_commands
+    drv.set_frequency(145.0e6)
+    assert ("center_freq", 145.0e6) in calls
+    drv.set_gain(1.0)
+    assert ("gain", 49.6) in calls
+
+    # full stack: RtlSdrSource emits the u8 wire format over this driver
+    from rustradio_tpu.hw import RtlSdrSource
+
+    src = RtlSdrSource(drv)
+    raw = src.emit(0, 2048)
+    assert raw.dtype == np.uint8 and len(raw) == 2048
+    keys = {t.key for t in src.emit_tags(0, 2048)}
+    assert "RtlSdrSource::frequency" in keys
+    drv.close()
+    assert ("close", None) in calls
+
+
+def test_rtl_driver_import_error_without_bindings():
+    import sys
+
+    assert "rtlsdr" not in sys.modules or sys.modules["rtlsdr"] is not None
+    sys.modules.pop("rtlsdr", None)
+    from rustradio_tpu.hw.rtl import RtlDriver
+
+    try:
+        import rtlsdr  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="rtl_tcp"):
+            RtlDriver(1e8, 1e6)
