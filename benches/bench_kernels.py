@@ -1,0 +1,257 @@
+#!/usr/bin/env python3
+"""Per-kernel microbenchmark suite (reference analog:
+benches/bench_rustradio.rs:72-125 criterion benches).
+
+Each bench prints one JSON line {"bench": ..., "msps": ..., ...}.  Run
+all with no args, or name benches:
+
+    python benches/bench_kernels.py [fm_chain fir fft_filter quad_demod
+                                     channelizer decode_bank scan_stream]
+
+Timing method (doc/performance.md "Measuring on the axon TPU tunnel"):
+loop >=64 iterations inside ONE jit with per-iteration input variation,
+time the DIFFERENCE of two loop lengths, take the median of 5.  On CPU
+the loops shrink so the suite stays runnable in CI (numbers are then
+only regression-relative, not roofline-relevant).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+if "--cpu" in sys.argv:
+    sys.argv.remove("--cpu")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rustradio_tpu import ops
+from rustradio_tpu import taps as tg
+
+
+def on_tpu() -> bool:
+    return jax.devices()[0].platform != "cpu"
+
+
+def timed_loop(make_body, n_samples, iters=None, reps=5):
+    """Median per-iteration Msamples/s of make_body(key, s) via dual-length
+    differencing inside one jit."""
+    if iters is None:
+        iters = 128 if on_tpu() else 2
+
+    @jax.jit
+    def loop(key, scales):
+        carry0, body = make_body(key)
+
+        def body_fn(carry, s):
+            return carry + body(s), ()
+
+        total, _ = jax.lax.scan(body_fn, carry0, scales)
+        return total
+
+    key = jax.random.key(0)
+    half = jnp.linspace(0.0, 0.001, iters).astype(jnp.float32)
+    full = jnp.linspace(0.0, 0.001, 2 * iters).astype(jnp.float32)
+    float(loop(key, half))
+    float(loop(key, full))
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(loop(key, half))
+        th = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(loop(key, full))
+        tf = time.perf_counter() - t0
+        samples.append(n_samples / max((tf - th) / iters, 1e-9) / 1e6)
+    return sorted(samples)[len(samples) // 2]
+
+
+def emit(**kw):
+    print(json.dumps(kw), flush=True)
+
+
+# ---------------------------------------------------------------- benches
+
+def bench_fm_chain():
+    n = 1 << 24 if on_tpu() else 1 << 18
+    deci = 4
+    lp = np.real(np.asarray(
+        tg.low_pass_complex(1_024_000.0, 100_000.0, 50_000.0, "hamming"))
+    ).astype(np.float32)
+    for prec in ("w3", "highest", "split3", "w2"):
+        def make(key, _p=prec):
+            a, b = jax.random.normal(key, (2, n), jnp.float32)
+            a = jnp.round(jnp.clip(a * 38, -128, 127)) * jnp.float32(1 / 128)
+            b = jnp.round(jnp.clip(b * 38, -128, 127)) * jnp.float32(1 / 128)
+
+            def body(s):
+                return jnp.sum(ops.pallas_fm_chain(a, b, lp, deci, 1.0,
+                                                   offset=s, precision=_p))
+
+            return jnp.float32(0.0), body
+
+        emit(bench=f"fm_chain/{prec}", msps=round(timed_loop(make, n), 1),
+             n=n, deci=deci, ntaps=len(lp))
+
+
+def bench_fir():
+    n = 1 << 23 if on_tpu() else 1 << 18
+    for deci, ntaps in [(1, 49), (4, 49), (1, 1205), (4, 1205)]:
+        taps = np.real(np.asarray(
+            tg.low_pass_complex(1_024_000.0, 400_000.0 / deci, 50_000.0,
+                                "hamming"))).astype(np.float32)
+        taps = np.resize(taps, ntaps).astype(np.float32) / ntaps
+
+        def make(key, _t=taps, _d=deci):
+            x = jax.random.normal(key, (n,), jnp.float32)
+
+            def body(s):
+                from rustradio_tpu.ops.pallas_kernels import pallas_fir_decimate
+                return jnp.sum(pallas_fir_decimate(x + s, _t, _d))
+
+            return jnp.float32(0.0), body
+
+        emit(bench=f"fir_banded/deci{deci}_taps{ntaps}",
+             msps=round(timed_loop(make, n), 1), n=n)
+
+
+def bench_fft_filter():
+    n = 1 << 23 if on_tpu() else 1 << 18
+    lp = np.asarray(tg.low_pass_complex(1_024_000.0, 100_000.0, 50_000.0,
+                                        "hamming"))
+
+    def make(key):
+        a, b = jax.random.normal(key, (2, n), jnp.float32)
+
+        def body(s):
+            from rustradio_tpu.ops.fft_filter import fft_filter_decimate
+            y = fft_filter_decimate(jax.lax.complex(a + s, b), lp, 4,
+                                    fft_size=8192)
+            return jnp.sum(jnp.real(y))
+
+        return jnp.float32(0.0), body
+
+    emit(bench="fft_filter_decimate", msps=round(timed_loop(make, n), 1), n=n)
+
+
+def bench_quad_demod():
+    n = 1 << 23 if on_tpu() else 1 << 18
+
+    def make(key):
+        a, b = jax.random.normal(key, (2, n), jnp.float32)
+
+        def body(s):
+            from rustradio_tpu.ops.pallas_kernels import pallas_quad_demod
+            return jnp.sum(pallas_quad_demod(jax.lax.complex(a + s, b), 1.0))
+
+        return jnp.float32(0.0), body
+
+    emit(bench="quad_demod", msps=round(timed_loop(make, n), 1), n=n)
+
+
+def bench_channelizer():
+    from rustradio_tpu.parallel.channelizer import channelizer_taps, pfb_channelize
+
+    nch = 256
+    n = (1 << 22 if on_tpu() else 1 << 17)
+    n -= n % nch
+    taps = channelizer_taps(nch)
+
+    def make(key):
+        a, b = jax.random.normal(key, (2, n), jnp.float32)
+
+        def body(s):
+            ch = pfb_channelize(jax.lax.complex(a + s, b), taps, nch)
+            return jnp.sum(jnp.abs(ch) ** 2)
+
+        return jnp.float32(0.0), body
+
+    emit(bench=f"channelizer/{nch}ch", msps=round(timed_loop(make, n), 1), n=n)
+
+
+def bench_decode_bank():
+    """Channel-parallel clock recovery: vmapped symbol_sync scan over a
+    bank of channels (VERDICT r2 weak item 5)."""
+    from rustradio_tpu.models.multichannel import recover_symbols_batch
+
+    nch = 64 if on_tpu() else 8
+    per = 1 << 16 if on_tpu() else 1 << 12
+    sps = 36.75
+
+    def make(key):
+        nrz = jax.random.normal(key, (nch, per), jnp.float32)
+
+        def body(s):
+            vals, mask, _ = recover_symbols_batch(nrz + s, sps, 0.5, (0.5, 0.5))
+            return jnp.sum(vals) + jnp.sum(mask)
+
+        return jnp.float32(0.0), body
+
+    msps = timed_loop(make, nch * per, iters=8 if on_tpu() else 2)
+    emit(bench=f"decode_bank/{nch}ch", msps=round(msps, 2), nch=nch,
+         per_channel_msps=round(msps / nch, 3))
+
+
+def bench_scan_stream():
+    """Compiled streaming runner vs per-chunk dispatch (Graph.run_stream
+    scan_chunks) on a device FM chain."""
+    from rustradio_tpu import blocks
+    from rustradio_tpu.graph import Graph
+
+    chunk = 1 << 18 if on_tpu() else 1 << 14
+    n_chunks = 64 if on_tpu() else 8
+    rng = np.random.RandomState(0)
+    data = rng.randn(chunk * n_chunks).astype(np.float32)
+    taps = np.real(np.asarray(
+        tg.low_pass_complex(1_024_000.0, 100_000.0, 50_000.0, "hamming"))
+    ).astype(np.float32)
+
+    def run(scan):
+        g = Graph()
+        sink = blocks.NullSink()
+        g.chain(
+            blocks.VectorSource(data),
+            blocks.FirFilter(taps),
+            blocks.QuadratureDemod(1.0),
+            blocks.MultiplyConst(0.5),
+            sink,
+        )
+        g.run_stream(chunk_size=chunk, scan_chunks=scan)  # warm compile
+        t0 = time.perf_counter()
+        g.run_stream(chunk_size=chunk, scan_chunks=scan)
+        return time.perf_counter() - t0
+
+    t_per_chunk = run(None)
+    t_scan = run(n_chunks)
+    emit(bench="scan_stream", chunk=chunk, n_chunks=n_chunks,
+         per_chunk_msps=round(len(data) / t_per_chunk / 1e6, 1),
+         scan_msps=round(len(data) / t_scan / 1e6, 1))
+
+
+BENCHES = {
+    "fm_chain": bench_fm_chain,
+    "fir": bench_fir,
+    "fft_filter": bench_fft_filter,
+    "quad_demod": bench_quad_demod,
+    "channelizer": bench_channelizer,
+    "decode_bank": bench_decode_bank,
+    "scan_stream": bench_scan_stream,
+}
+
+
+def main(argv):
+    names = argv or list(BENCHES)
+    for name in names:
+        BENCHES[name]()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

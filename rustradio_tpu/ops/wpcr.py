@@ -86,9 +86,9 @@ def wpcr(samples, samp_rate: float | None = None):
     sliced = (samples > 0).astype(jnp.float32)
     d = sliced[:-1] - sliced[1:]
     d = d * d  # pulses at zero transitions
-    # The reference FFTs the length n-1... no: d built from zip(s, s.skip(1))
-    # has length n-1? It zips sliced (len n) with skip(1) (len n-1) -> n-1.
-    # But then it FFTs d of len n-1 and computes sps = bin / samples.len().
+    # d has length n-1 (the reference zips sliced with its skip(1) self,
+    # src/wpcr.rs:150-158) but the reference still normalizes the peak bin
+    # by the full n: sps = bin / samples.len().  Keep both quirks.
     spec = jnp.fft.fft(d.astype(jnp.complex64))
     half = spec[: d.shape[0] // 2]
     mag = jnp.abs(half)

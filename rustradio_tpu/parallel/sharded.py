@@ -56,9 +56,6 @@ def sharded_fft_filter(x, taps, mesh, axis: str = "time", fft_size: int | None =
     """Overlap-save FFT filter with the time axis sharded; halo over ICI."""
     taps = np.asarray(taps)
     ntaps = len(taps)
-    n_sh = mesh.shape[axis]
-    shard_len = x.shape[0] // n_sh
-
     def body(xs):
         ext = halo_exchange_left(xs, ntaps - 1, axis)
         # Within the shard run overlap-save over `ext`, emitting outputs for
@@ -66,7 +63,6 @@ def sharded_fft_filter(x, taps, mesh, axis: str = "time", fft_size: int | None =
         y = _fft_filter(ext, taps, fft_size)
         return jax.lax.dynamic_slice_in_dim(y, ntaps - 1, xs.shape[0])
 
-    del shard_len
     return _shmap(mesh, axis, body)(x)
 
 
