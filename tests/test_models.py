@@ -106,17 +106,20 @@ def test_aprs_au_tone_correlator_recovers_frame():
     assert b"KOESTW" in bytes(frame)
 
 
-def test_tone_demod_more_sensitive_than_discriminator():
-    # At an SNR where the discriminator chain loses the frame, the tone
-    # correlator still decodes it (CRC-verified).
+def test_tone_demod_more_sensitive_than_reference_discriminator():
+    # At an SNR where the reference-faithful discriminator (no input
+    # band-pass, band=None) loses the frame, both the tone correlator AND
+    # the band-passed discriminator (the r3 default) decode it.
     rng = np.random.RandomState(8)
     payload = b"WEAK SIGNAL SENSITIVITY TEST"
     audio = make_afsk(payload, amp=0.5)
     noisy = audio + rng.randn(len(audio)).astype(np.float32) * 0.3
-    disc = ax25_1200_rx(noisy, 44100.0)
+    ref_disc = ax25_1200_rx(noisy, 44100.0, band=None, symbol_taps=(0.5, 0.5))
     tone = ax25_1200_rx(noisy, 44100.0, demod="tones")
+    disc = ax25_1200_rx(noisy, 44100.0)
     assert [bytes(p) for p in tone] == [payload]
-    assert len(disc) == 0  # guards the "more sensitive" claim stays true
+    assert [bytes(p) for p in disc] == [payload]
+    assert len(ref_disc) == 0  # the reference chain drops it here
 
 
 def test_ax25_9600_wpcr_synthetic():
