@@ -29,16 +29,23 @@ def _enable_compilation_cache() -> None:
     with RUSTRADIO_TPU_NO_CACHE=1."""
     if _os.environ.get("RUSTRADIO_TPU_NO_CACHE"):
         return
+
     # CPU AOT results are machine-feature-specific; caching them across
-    # hosts risks SIGILL.  The cache is for the TPU paths — skip when CPU
-    # was selected via env OR via jax.config (this image's sitecustomize
-    # ignores the env var, so scripts use jax.config per CLAUDE.md).
-    if "cpu" in _os.environ.get("JAX_PLATFORMS", ""):
+    # hosts risks SIGILL.  The cache is for the TPU paths — skip only when
+    # CPU is the PRIMARY platform.  (A bare substring test is wrong: this
+    # image's sitecustomize sets jax_platforms to "axon,cpu" — axon first,
+    # cpu fallback — and matching "cpu" there silently disabled the cache
+    # for every TPU run until round 3.)
+    def _primary_is_cpu(spec: str | None) -> bool:
+        plats = [p.strip() for p in (spec or "").split(",") if p.strip()]
+        return bool(plats) and plats[0] == "cpu"
+
+    if _primary_is_cpu(_os.environ.get("JAX_PLATFORMS")):
         return
     try:
         import jax
 
-        if "cpu" in (jax.config.jax_platforms or ""):
+        if _primary_is_cpu(jax.config.jax_platforms):
             return
     except Exception:
         return

@@ -27,6 +27,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _kth_smallest(v, valid, k):
+    """Exact k-th smallest (0-indexed) float among ``valid`` entries.
+
+    32-step binary search on the total-order integer image of f32 —
+    selects the identical element a sort-then-index would, but compiles
+    ~4x faster on TPU than a vmapped ``jnp.sort`` (the bitonic network
+    dominated the WPCR bucket programs' compile time; the 32 masked
+    reductions cost ~0.2 ms per 16x2048 batch at run time, noise next to
+    the chain).
+    """
+    x = jax.lax.bitcast_convert_type(jnp.asarray(v, jnp.float32), jnp.int32)
+    u = jnp.where(x < 0, ~x, x | np.int32(-2147483648)).astype(jnp.uint32)
+    u = jnp.where(valid, u, jnp.uint32(0xFFFFFFFF))
+    lo = jnp.uint32(0)
+    for b in range(31, -1, -1):
+        mid = lo | jnp.uint32(1 << b)
+        c = jnp.sum((u < mid).astype(jnp.int32))
+        lo = jnp.where(c <= k, mid, lo)
+    key = lo.astype(jnp.int32)
+    back = jnp.where(key < 0, key ^ np.int32(-2147483648), ~key)
+    return jax.lax.bitcast_convert_type(back, jnp.float32)
+
+
 def midpoint(v):
     """Re-center burst around midpoint of median high and median low.
 
@@ -41,12 +64,8 @@ def midpoint(v):
     above = v > mean
     n_above = jnp.sum(above)
     n_below = v.shape[0] - n_above
-    big = jnp.float32(3.4e38)
-    # median of each partition via sort with +/-inf padding
-    sa = jnp.sort(jnp.where(above, v, big))  # above-values first ascending
-    high = sa[(n_above // 2)]
-    sb = jnp.sort(jnp.where(~above, v, big))
-    low = sb[(n_below // 2)]
+    high = _kth_smallest(v, above, n_above // 2)
+    low = _kth_smallest(v, ~above, n_below // 2)
     offset = low + (high - low) / jnp.float32(2.0)
     return v - offset, (n_above > 0) & (n_below > 0)
 
@@ -164,11 +183,8 @@ def _midpoint_masked(v, m):
     above = valid & (v > mean)
     n_above = jnp.sum(above)
     n_below = m - n_above
-    big = jnp.float32(3.4e38)
-    sa = jnp.sort(jnp.where(above, v, big))
-    high = sa[n_above // 2]
-    sb = jnp.sort(jnp.where(valid & ~(v > mean), v, big))
-    low = sb[n_below // 2]
+    high = _kth_smallest(v, above, n_above // 2)
+    low = _kth_smallest(v, valid & ~(v > mean), n_below // 2)
     offset = low + (high - low) / jnp.float32(2.0)
     ok = (n_above > 0) & (n_below > 0)
     return jnp.where(valid, v - offset, 0.0), ok
