@@ -42,6 +42,15 @@ def pfb_channelize(x, taps, n_channels: int):
 
     Returns (nframes, n_channels) complex64; channel k is centered at
     k * fs / M (wrapping to negative frequencies above M/2).
+
+    Formulation (r3): the branch FIR is L row-shifted elementwise FMAs on
+    the (nframes, M) frame matrix — exact f32 on the VPU at ~28.6 Gsps
+    measured, vs a feature_group_count=M grouped conv whose groups of one
+    channel map poorly to the MXU AND force the HIGHEST-conv compile
+    flavor (the conv+pallas co-compile hazard, graph._segments).  The
+    channel combine is one batched IFFT along the channel (lane) axis —
+    the measured bottleneck at ~16.4 Gsps; a DFT-as-matmul beats it only
+    below the 1e-3 parity budget (doc/performance.md "Channelizer").
     """
     M = n_channels
     x = jnp.asarray(x, jnp.complex64)
@@ -51,32 +60,19 @@ def pfb_channelize(x, taps, n_channels: int):
     L = len(taps) // M
     n = x.shape[0]
     nframes = n // M
-    # Branch decomposition: xp[m, i] = x[i*M - m], via a left pad of M-1 and
+    # Frame decomposition: f[i, m] = x[i*M - m], via a left pad of M-1 and
     # a reshape with reversed columns.
     xq = jnp.pad(x, (M - 1, 0))[: nframes * M]
-    xp = xq.reshape(nframes, M)[:, ::-1].T  # (M, nframes), column m = x[iM-m]
-    # Per-branch causal FIR: v[m, n] = sum_l h[l*M + m] * xp[m, n-l]
+    f = xq.reshape(nframes, M)[:, ::-1]  # (nframes, M)
+    # Per-branch causal FIR: v[i, m] = sum_l h[l*M + m] * f[i-l, m] —
+    # L shifted rows, each scaled by its tap row (exact f32 FMAs).
     h = taps.reshape(L, M)  # h[l, m]
-    # grouped conv: lhs (batch=1, features=M, time), rhs (M, 1, L)
-    lhs = xp[None, :, :]
-    rhs = jnp.asarray(h.T[:, None, ::-1])  # (M, 1, L), reversed for conv
-    # HIGHEST: TPU convs default to one bf16 MXU pass (~0.5% error).
-    vr = jax.lax.conv_general_dilated(
-        jnp.real(lhs), rhs, (1,), [(L - 1, 0)],
-        dimension_numbers=("NCW", "OIW", "NCW"), feature_group_count=M,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    vi = jax.lax.conv_general_dilated(
-        jnp.imag(lhs), rhs, (1,), [(L - 1, 0)],
-        dimension_numbers=("NCW", "OIW", "NCW"), feature_group_count=M,
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    v = jax.lax.complex(vr[0], vi[0])  # (M, nframes)
-    # y_k[n] = sum_m e^{2 pi i k m / M} v[m, n]  ==  M * IFFT over m.
-    y = jnp.fft.ifft(v, axis=0) * M
-    return y.T  # (nframes, M)
+    acc = jnp.zeros_like(f)
+    for l in range(L):
+        fl = jnp.pad(f, ((l, 0), (0, 0)))[:nframes]
+        acc = acc + h[l] * fl
+    # y_k[i] = sum_m e^{2 pi i k m / M} v[i, m]  ==  M * IFFT over m.
+    return jnp.fft.ifft(acc, axis=1) * M  # (nframes, M)
 
 
 def channelizer_fm_bank(x, taps, n_channels: int, gain: float = 1.0):

@@ -83,30 +83,41 @@ def sharded_quadrature_demod(x, gain, mesh, axis: str = "time"):
     return _shmap(mesh, axis, body)(x)
 
 
-def sharded_bell202_demod(audio, samp_rate: float, mesh, axis: str = "time"):
+def sharded_bell202_demod(audio, samp_rate: float, mesh, axis: str = "time",
+                          band: tuple | None = (400.0, 2700.0)):
     """The full AX.25 1200 bd AFSK front-end, time-sharded in ONE program.
 
-    Hilbert(65) -> quadrature demod -> 1100 Hz low-pass -> centre offset
-    (models/ax25.py::bell202_demod, reference examples/ax25-1200-rx.rs:
-    229-247), with every filter history crossing shard boundaries as a
-    ppermute halo instead of carried state.  Output matches the offline
-    chain except the final global sample (the demod's missing lookahead).
+    Band-pass -> Hilbert(65) -> quadrature demod -> 1100 Hz low-pass ->
+    centre offset (models/ax25.py::bell202_demod; the input band-pass is
+    the r3 decode-rate addition, the rest is the reference chain,
+    examples/ax25-1200-rx.rs:229-247), with every filter history crossing
+    shard boundaries as a ppermute halo instead of carried state.  Output
+    matches the offline chain except the final global sample (the demod's
+    missing lookahead).
     """
     from .. import taps as tapgen
     from ..ops.fft_filter import filter_float as _filter_float
 
     hil = np.asarray(tapgen.hilbert(65, "hamming"))
-    lp = np.asarray(tapgen.low_pass(samp_rate, 1100.0, 100.0, "hamming"))
+    lp = np.asarray(tapgen.low_pass(samp_rate, 1100.0, 200.0, "hamming"))
+    bp = None if band is None else np.asarray(
+        tapgen.band_pass(samp_rate, band[0], band[1], 65, "hamming")
+    )
     nh, nl = len(hil), len(lp)
+    nb = 0 if bp is None else len(bp)
     n_sh = mesh.shape[axis]
     if audio.shape[0] % n_sh:
         raise ValueError("stream length must divide the mesh axis")
-    if audio.shape[0] // n_sh <= max(nh, nl):
+    if audio.shape[0] // n_sh <= max(nh, nl, nb):
         raise ValueError("shard shorter than the filter halo")
     center = jnp.float32(-2.0 * np.pi * 1700.0 / samp_rate)
 
     def body(xs):
         ln = xs.shape[0]
+        if bp is not None:
+            # input band-pass (zero history at global stream start)
+            ext0 = halo_exchange_left(xs, nb - 1, axis)
+            xs = jax.lax.dynamic_slice_in_dim(_filter_float(ext0, bp), nb - 1, ln)
         # Hilbert: y_im[i] = sum_j hil[j] x[i-1-j]; y_re[i] = x[i - ceil(nh/2)]
         # via the filter dispatcher (banded MXU kernel on TPU — mixing a
         # HIGHEST conv with a pallas_call in one program triggers a

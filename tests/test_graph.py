@@ -468,3 +468,30 @@ def test_segments_fuse_when_groups_agree():
     g.chain(blocks.VectorSource(np.ones(8, np.float32)), b1, b2, blocks.NullSink())
     segs = g._segments()
     assert any(len(s) == 2 for s in segs.values())
+
+
+def test_scan_runner_preserves_tags():
+    # tags must ride identically through the scan-over-chunks runner,
+    # including tags carried across chunk boundaries by static Delay
+    from rustradio_tpu.streams import Tag
+
+    x = np.arange(4000, dtype=np.float32)
+    tags = [Tag(500, "a", 1), Tag(1010, "b", 2), Tag(3900, "c", 3)]
+
+    def run(scan):
+        g = Graph()
+        sink = blocks.VectorSink()
+        g.chain(
+            blocks.VectorSource(x, tags=tags),
+            blocks.FirFilter(np.asarray([0.25, 0.5, 0.25], np.float32)),
+            blocks.Delay(40),
+            sink,
+        )
+        g.run_stream(chunk_size=512, scan_chunks=scan)
+        return sink.data(), [(t.pos, t.key, t.val) for t in sink.tags()]
+
+    d0, t0 = run(None)
+    d1, t1 = run(4)
+    np.testing.assert_allclose(d0, d1)
+    assert [t for t in t1 if t[1] in "abc"] == [t for t in t0 if t[1] in "abc"]
+    assert len([t for t in t0 if t[1] in "abc"]) == 3
