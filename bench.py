@@ -144,21 +144,26 @@ def main() -> None:
                 c, _ = jax.lax.scan(body, jnp.float32(0.0), scales)
                 return c
 
+            # the channelizer has no in-kernel SMEM offset hook, so the
+            # per-iteration variation is an x+s pass — its extra traffic
+            # biases this number slightly low (benches/bench_kernels.py
+            # shares the limitation); loop lengths/median follow the
+            # CLAUDE.md rule (>=64 iters, median of 5)
             chan_taps = channelizer_taps(nch)
-            ch_half = jnp.linspace(0.0, 0.001, 32).astype(jnp.float32)
-            ch_full = jnp.linspace(0.0, 0.001, 64).astype(jnp.float32)
+            ch_half = jnp.linspace(0.0, 0.001, 64).astype(jnp.float32)
+            ch_full = jnp.linspace(0.0, 0.001, 128).astype(jnp.float32)
             float(chan_loop(key, ch_half))
             float(chan_loop(key, ch_full))
             cs = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 float(chan_loop(key, ch_half))
                 th = time.perf_counter() - t0
                 t0 = time.perf_counter()
                 float(chan_loop(key, ch_full))
                 tf = time.perf_counter() - t0
-                cs.append(nc / max((tf - th) / 32, 1e-9) / 1e6)
-            chan_msps = round(sorted(cs)[1], 1)
+                cs.append(nc / max((tf - th) / 64, 1e-9) / 1e6)
+            chan_msps = round(sorted(cs)[len(cs) // 2], 1)
         except Exception:
             chan_msps = None
 

@@ -62,16 +62,22 @@ def main() -> None:
             return c
 
         key = jax.random.PRNGKey(0)
-        scales = jnp.linspace(1.0, 1.001, iters)
-        float(loop(key, scales[:1]))  # compile 1-iter program
-        float(loop(key, scales))  # compile full program
-        t0 = time.perf_counter()
-        float(loop(key, scales[:1]))
-        t_one = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(loop(key, scales))
-        t_full = time.perf_counter() - t0
-        dt = max((t_full - t_one) / (iters - 1), 1e-9)
+        # dual-length differencing, median of 5 (the CLAUDE.md tunnel rule:
+        # 1-iter calibration is unstable under dispatch jitter)
+        half = jnp.linspace(1.0, 1.001, iters)
+        full = jnp.linspace(1.0, 1.001, 2 * iters)
+        float(loop(key, half))
+        float(loop(key, full))
+        diffs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(loop(key, half))
+            th = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(loop(key, full))
+            tf = time.perf_counter() - t0
+            diffs.append(max((tf - th) / iters, 1e-9))
+        dt = sorted(diffs)[len(diffs) // 2]
         rate = n / dt / 1e6
         if base_rate is None:
             base_rate = rate
@@ -143,16 +149,20 @@ def halo_fraction() -> None:
             return c
 
         key = jax.random.PRNGKey(0)
-        scales = jnp.linspace(1.0, 1.001, iters)
-        float(loop(key, scales[:1]))
-        float(loop(key, scales))
-        t0 = time.perf_counter()
-        float(loop(key, scales[:1]))
-        t_one = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(loop(key, scales))
-        t_full = time.perf_counter() - t0
-        return max((t_full - t_one) / (iters - 1), 1e-9)
+        half = jnp.linspace(1.0, 1.001, iters)
+        full = jnp.linspace(1.0, 1.001, 2 * iters)
+        float(loop(key, half))
+        float(loop(key, full))
+        diffs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(loop(key, half))
+            th = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(loop(key, full))
+            tf = time.perf_counter() - t0
+            diffs.append(max((tf - th) / iters, 1e-9))
+        return sorted(diffs)[len(diffs) // 2]
 
     t_halo = timed(
         lambda x: sharded_fm_demod(x, taps=lp, mesh=mesh, deci=deci, gain=1.0)

@@ -32,17 +32,21 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True, help=".au output file")
     p.add_argument("--rtl_u8", action="store_true", help="input is RTL-SDR u8 IQ")
     p.add_argument("--frequency", type=parse_frequency, default=100_000_000.0,
-                   help="sim mode: tuner center frequency")
+                   help="sim/rtl mode: tuner center frequency")
     p.add_argument("--sim_tone", action="append", default=[],
                    help="sim mode: FREQ:AMP[:AUDIO:DEV] RF tone (repeatable)")
     p.add_argument("--seconds", type=float, default=1.0,
-                   help="sim mode: capture length")
+                   help="sim/rtl mode: capture length")
     opt = p.parse_args(argv)
 
     if opt.read == "rtl" or opt.read.startswith("rtl:"):
         from ..hw import RtlDriver, SdrSource
 
-        idx = int(opt.read.split(":", 1)[1]) if ":" in opt.read else 0
+        idx_s = opt.read.split(":", 1)[1] if ":" in opt.read else ""
+        try:
+            idx = int(idx_s) if idx_s else 0
+        except ValueError:
+            p.error(f"bad rtl device spec {opt.read!r}: want rtl or rtl:<index>")
         drv = RtlDriver(
             frequency=float(opt.frequency),
             sample_rate=float(opt.sample_rate),

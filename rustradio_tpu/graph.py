@@ -743,19 +743,7 @@ class Graph:
                     and checkpoint_every
                     and before // checkpoint_every != chunk_count // checkpoint_every
                 ):
-                    from .utils.checkpoint import save_checkpoint
-
-                    save_checkpoint(
-                        checkpoint_path, states, offset,
-                        extra={
-                            "blocks": [n.block.name() for n in self.nodes],
-                            "host": {
-                                n.idx: n.block.host_state()
-                                for n in self.nodes
-                                if hasattr(n.block, "host_state")
-                            },
-                        },
-                    )
+                    self._save_checkpoint(checkpoint_path, states, offset)
                 continue
             n_chunk = min(chunk_size, total - offset)
             values: dict[tuple[int, int], Any] = {}
@@ -821,19 +809,7 @@ class Graph:
                 and checkpoint_every
                 and chunk_count % checkpoint_every == 0
             ):
-                from .utils.checkpoint import save_checkpoint
-
-                save_checkpoint(
-                    checkpoint_path, states, offset,
-                    extra={
-                        "blocks": [n.block.name() for n in self.nodes],
-                        "host": {
-                            n.idx: n.block.host_state()
-                            for n in self.nodes
-                            if hasattr(n.block, "host_state")
-                        },
-                    },
-                )
+                self._save_checkpoint(checkpoint_path, states, offset)
         # Drain end-of-stream outputs ONLY at a true EOF: a max_chunks or
         # cancellation pause keeps pending state (tails, open bursts) in
         # the carried pytrees for checkpoint/resume; flushing there would
@@ -844,6 +820,24 @@ class Graph:
             if hasattr(node.block, "finish"):
                 node.block.finish()
 
+    def _save_checkpoint(self, path: str, states: dict, offset: int) -> None:
+        """Snapshot the stream condition: state pytrees + offset + the
+        host-side block state (e.g. Delay's carried tag queue) that can't
+        live in the jitted pytrees."""
+        from .utils.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            path, states, offset,
+            extra={
+                "blocks": [n.block.name() for n in self.nodes],
+                "host": {
+                    n.idx: n.block.host_state()
+                    for n in self.nodes
+                    if hasattr(n.block, "host_state")
+                },
+            },
+        )
+
     def _scan_precheck(self, key, raw, states_in, sds_args) -> bool:
         """A segment/block can scan only if its state pytree is shape-
         invariant chunk-to-chunk (lax.scan carry contract).  Cheap cached
@@ -853,13 +847,20 @@ class Graph:
         cached = self._jit_cache.get(ck)
         if cached is None:
             import jax
+            import jax.numpy as jnp
 
             try:
                 new_sd = jax.eval_shape(raw, states_in, *sds_args)[0]
                 tu = jax.tree_util
+                # compare shapes AND (canonicalized) dtypes: a carry whose
+                # leaf dtype changes (f32 -> c64 promotion, say) would pass
+                # a shape-only check and then blow up inside lax.scan
                 cached = tu.tree_structure(new_sd) == tu.tree_structure(states_in) and [
-                    tuple(l.shape) for l in tu.tree_leaves(new_sd)
-                ] == [tuple(np.shape(l)) for l in tu.tree_leaves(states_in)]
+                    (tuple(l.shape), l.dtype) for l in tu.tree_leaves(new_sd)
+                ] == [
+                    (tuple(np.shape(l)), jnp.result_type(l))
+                    for l in tu.tree_leaves(states_in)
+                ]
             except Exception:
                 cached = False
             self._jit_cache[ck] = cached
@@ -949,13 +950,20 @@ class Graph:
                     lens_per_chunk = [
                         self._segment_lens(seg, ext_in, sds_args, states=seg_states)
                     ] * nb
-                    with self._annotate(f"scan:{seg_name}"):
-                        new_states, outs = fn(seg_states, *args)
-                    states.update(new_states)
-                    for k, o in zip(ext_out, outs):
-                        values[k] = o
-                    self._record_cost(seg[0].idx, fn, (seg_states,) + tuple(args))
-                else:
+                    try:
+                        with self._annotate(f"scan:{seg_name}"):
+                            new_states, outs = fn(seg_states, *args)
+                    except Exception:
+                        # precheck false positive (e.g. weak-type carry
+                        # mismatch): remember and run per-chunk instead
+                        self._jit_cache[(("seg", seg[0].idx), "scan_ok")] = False
+                        scannable = False
+                    else:
+                        states.update(new_states)
+                        for k, o in zip(ext_out, outs):
+                            values[k] = o
+                        self._record_cost(seg[0].idx, fn, (seg_states,) + tuple(args))
+                if not scannable:
                     # carry or chunk shapes vary chunk-to-chunk: per-chunk
                     # programs inside the batch (correct, not one-dispatch)
                     _, _, fnc = self._segment_fn(seg, streaming=True)
@@ -1023,17 +1031,22 @@ class Graph:
                     )
                 if scannable:
                     fn = self._node_scan_fn(node)
-                    with self._annotate(f"scan:{b.name()}"):
-                        states[node.idx], out = fn(st_in, *args)
-                    self._record_cost(node.idx, fn, (st_in,) + tuple(args))
-                    outs = out if isinstance(out, tuple) else (out,)
-                    outs_per_port = list(outs)  # stacked
-                    _, sds = jax.eval_shape(b.apply_chunk, st_in, *sds_args)
-                    sds = sds if isinstance(sds, tuple) else (sds,)
-                    lens_pc = [
-                        [sd.shape[0] if sd.shape else 0 for sd in sds]
-                    ] * nb
-                else:
+                    try:
+                        with self._annotate(f"scan:{b.name()}"):
+                            states[node.idx], out = fn(st_in, *args)
+                    except Exception:
+                        self._jit_cache[(("node", node.idx), "scan_ok")] = False
+                        scannable = False
+                    else:
+                        self._record_cost(node.idx, fn, (st_in,) + tuple(args))
+                        outs = out if isinstance(out, tuple) else (out,)
+                        outs_per_port = list(outs)  # stacked
+                        _, sds = jax.eval_shape(b.apply_chunk, st_in, *sds_args)
+                        sds = sds if isinstance(sds, tuple) else (sds,)
+                        lens_pc = [
+                            [sd.shape[0] if sd.shape else 0 for sd in sds]
+                        ] * nb
+                if not scannable:
                     fnc = self._device_call(node, "apply_chunk")
                     collected = [[] for _ in range(b.n_out)]
                     lens_pc = []

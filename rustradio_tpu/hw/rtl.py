@@ -47,6 +47,7 @@ class RtlDriver(SdrDriver):
         self._index = device_index
         self._count = 0
         self._epoch_ns = epoch_ns
+        self._leftover = np.zeros(0, np.complex64)
         self._sdr.sample_rate = sample_rate
         self._sdr.center_freq = frequency
         self._apply_gain(gain)
@@ -86,9 +87,15 @@ class RtlDriver(SdrDriver):
     def read(self, n: int) -> np.ndarray:
         # librtlsdr wants multiples of 512 samples; read_samples returns
         # (u8 - 127.5)/127.5 complex — the same decode RtlSdrSource's wire
-        # format re-encodes, so round-tripping through u8 is lossless
-        want = max(512, -(-n // 512) * 512)
-        data = np.asarray(self._sdr.read_samples(want), np.complex64)[:n]
+        # format re-encodes, so round-tripping through u8 is lossless.
+        # Samples past n are BUFFERED for the next read, never dropped —
+        # discarding them would put a phase jump in the stream every chunk.
+        need = n - len(self._leftover)
+        if need > 0:
+            want = max(512, -(-need // 512) * 512)
+            fresh = np.asarray(self._sdr.read_samples(want), np.complex64)
+            self._leftover = np.concatenate([self._leftover, fresh])
+        data, self._leftover = self._leftover[:n], self._leftover[n:]
         self._count += len(data)
         return data
 

@@ -90,7 +90,11 @@ def bell202_demod(audio, samp_rate: float, band: tuple | None = (400.0, 2700.0))
     if band is not None:
         bp = tapgen.band_pass(samp_rate, band[0], band[1], 65, "hamming")
         audio = ops.filter_float(audio, bp)
-    lp = tapgen.low_pass(samp_rate, 1100.0, 200.0, "hamming")
+    # band=None is the reference-faithful chain, including its 100 Hz
+    # transition width; the swept configuration widened it to 200 Hz
+    # (half the taps, same decode rate)
+    lp = tapgen.low_pass(samp_rate, 1100.0, 200.0 if band is not None else 100.0,
+                         "hamming")
     center = 1700.0  # (1200 + 2200) / 2
     analytic = ops.hilbert_transform(audio, 65, "hamming")
     fm = ops.quadrature_demod(analytic, 1.0)

@@ -97,13 +97,23 @@ def fm_demod_chain_planar(
     if _on_tpu() and len(lp) <= 1024 and not np.any(np.imag(lp)):
         return pallas_fm_chain(i, q, np.real(lp), deci, gain,
                                offset=dc_offset, precision=precision)
-    return _fm_demod_chain(
-        jax.lax.complex(
-            jnp.asarray(i).astype(jnp.float32) + jnp.float32(dc_offset),
-            jnp.asarray(q).astype(jnp.float32) + jnp.float32(dc_offset),
-        ),
-        samp_rate, cutoff, twidth, deci, gain,
+    # Composed fallback with the SAME numerical contract as the fused
+    # kernel: w-precisions quantize the planes to bf16 (exact for 8-bit-
+    # sourced data, the documented domain), and the DC offset folds in
+    # AFTER the filter (filter(x + c) = filter(x) + c*sum(taps), with the
+    # zero-padded history offset too — matching the kernel's fold).
+    from ..ops.fft_filter import fft_filter_decimate
+
+    i32 = jnp.asarray(i).astype(jnp.float32)
+    q32 = jnp.asarray(q).astype(jnp.float32)
+    if precision in ("w2", "w3"):
+        i32 = i32.astype(jnp.bfloat16).astype(jnp.float32)
+        q32 = q32.astype(jnp.bfloat16).astype(jnp.float32)
+    y = fft_filter_decimate(jax.lax.complex(i32, q32), lp, deci)
+    y = y + jnp.asarray(dc_offset, jnp.float32) * jnp.complex64(
+        complex(np.sum(lp)) * (1 + 1j)
     )
+    return ops.quadrature_demod(y, gain)
 
 
 @functools.partial(jax.jit, static_argnames=("samp_rate", "audio_rate", "volume"))

@@ -99,7 +99,8 @@ def sharded_bell202_demod(audio, samp_rate: float, mesh, axis: str = "time",
     from ..ops.fft_filter import filter_float as _filter_float
 
     hil = np.asarray(tapgen.hilbert(65, "hamming"))
-    lp = np.asarray(tapgen.low_pass(samp_rate, 1100.0, 200.0, "hamming"))
+    lp = np.asarray(tapgen.low_pass(
+        samp_rate, 1100.0, 200.0 if band is not None else 100.0, "hamming"))
     bp = None if band is None else np.asarray(
         tapgen.band_pass(samp_rate, band[0], band[1], 65, "hamming")
     )

@@ -258,9 +258,12 @@ def test_rtl_driver_contract(monkeypatch):
                 calls.append((k, v))
             object.__setattr__(self, k, v)
 
+        _pos = 0
+
         def read_samples(self, n):
             assert n % 512 == 0  # librtlsdr buffer-size rule
-            t = np.arange(n)
+            t = np.arange(self._pos, self._pos + n)
+            object.__setattr__(self, "_pos", self._pos + n)
             return (np.exp(2j * np.pi * 0.01 * t) * 0.5).astype(np.complex128)
 
         def close(self):
@@ -283,6 +286,12 @@ def test_rtl_driver_contract(monkeypatch):
     x = drv.read(1000)
     assert x.dtype == np.complex64 and len(x) == 1000
     assert drv.time_ns() == int(1000 / 1.024e6 * 1e9)
+    # non-512-multiple reads must buffer the tail, not drop it: two reads
+    # are one contiguous stream
+    y = drv.read(1000)
+    t = np.arange(2000)
+    want = (np.exp(2j * np.pi * 0.01 * t) * 0.5).astype(np.complex64)
+    np.testing.assert_allclose(np.concatenate([x, y]), want, rtol=1e-6)
 
     # control-plane retune path used by SdrSource._drain_commands
     drv.set_frequency(145.0e6)
