@@ -76,10 +76,15 @@ def main(argv=None) -> int:
         iq = np.asarray(src.emit(0, int(opt.seconds * opt.sample_rate)))
         for t in src.emit_tags(0, len(iq)):
             print(f"tag {t.key} = {t.val}", file=sys.stderr)
-    elif opt.rtl_u8:
+    u8_planes = None
+    if opt.rtl_u8:
         raw = np.fromfile(opt.read, np.uint8)
+        # keep the raw planes too: (u8 - 127) integers are exactly
+        # representable in bf16, unlocking the fused w3 kernel path
+        pairs = raw[: len(raw) // 2 * 2].reshape(-1, 2).astype(np.float32)
+        u8_planes = (pairs[:, 0] - 127.0, pairs[:, 1] - 127.0)
         iq = rawfile.rtlsdr_decode(raw)
-    else:
+    elif opt.read not in ("sim",) and not opt.read.startswith("rtl"):
         iq = rawfile.read_samples(opt.read, "c32")
 
     import functools
@@ -99,8 +104,26 @@ def main(argv=None) -> int:
         demod = ops.quadrature_demod(y, sr / (2 * np.pi * dev))
         return ops.rational_resampler(demod, int(ar), int(sr))
 
-    audio = chain(stage_iq(iq), fs, float(opt.audio_rate),
-                  float(opt.cutoff), float(opt.deviation))
+    @functools.partial(jax.jit, static_argnames=("sr", "ar", "cutoff", "dev"))
+    def chain_u8(i_pl, q_pl, sr, ar, cutoff, dev):
+        # 8-bit wire format: the whole filter+demod runs as ONE fused
+        # Pallas memory pass with bf16-exact planes (precision="w3" —
+        # f32-level parity, ~2.3x the f32 path; models/fm.py).  The demod
+        # is scale-invariant, so the 1/128 decode scale is skipped.
+        from ..models.fm import fm_demod_chain_planar
+
+        demod = fm_demod_chain_planar(
+            i_pl, q_pl, sr, cutoff, cutoff / 2, deci=1,
+            gain=sr / (2 * np.pi * dev), precision="w3",
+        )
+        return ops.rational_resampler(demod, int(ar), int(sr))
+
+    if u8_planes is not None:
+        audio = chain_u8(u8_planes[0], u8_planes[1], fs, float(opt.audio_rate),
+                         float(opt.cutoff), float(opt.deviation))
+    else:
+        audio = chain(stage_iq(iq), fs, float(opt.audio_rate),
+                      float(opt.cutoff), float(opt.deviation))
     audio = np.asarray(audio) * opt.volume
     with open(opt.out, "wb") as f:
         f.write(au.au_encode(np.clip(audio, -1, 1), int(opt.audio_rate)))

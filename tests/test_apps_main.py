@@ -186,3 +186,35 @@ def test_pw_tone_file_backend(tmp_path):
     assert len(audio) == 8_000
     spec = np.abs(np.fft.rfft(audio))
     assert abs(np.argmax(spec) * 16_000 / len(audio) - 2_000.0) < 20
+
+
+def test_rtl_fm_u8_fused_path(tmp_path):
+    # u8 wire-format input takes the fused w3 planar path (bf16-exact
+    # planes); the demodulated tone must match the c32 path's output
+    fs = 256_000.0
+    n = 1 << 16
+    t = np.arange(n) / fs
+    # FM carrier at baseband: 1 kHz tone, 10 kHz deviation
+    ph = 2 * np.pi * 10_000.0 * np.cumsum(np.sin(2 * np.pi * 1000.0 * t)) / fs
+    iq = (0.6 * np.exp(1j * ph)).astype(np.complex64)
+    from rustradio_tpu.io import rawfile
+
+    u8 = np.asarray(rawfile.rtlsdr_encode(iq))
+    u8_path = str(tmp_path / "cap.u8")
+    u8.tofile(u8_path)
+    c32_path = str(tmp_path / "cap.c32")
+    iq.tofile(c32_path)
+
+    out_u8 = str(tmp_path / "a_u8.au")
+    out_c32 = str(tmp_path / "a_c32.au")
+    args = ["--sample_rate", "256k", "--audio_rate", "32k",
+            "--cutoff", "25k", "--deviation", "10k"]
+    assert rtl_fm.main(["-r", u8_path, "--rtl_u8", "--out", out_u8] + args) == 0
+    assert rtl_fm.main(["-r", c32_path, "--out", out_c32] + args) == 0
+    a_u8, _ = au_io.au_decode(open(out_u8, "rb").read(), 32_000)
+    a_c32, _ = au_io.au_decode(open(out_c32, "rb").read(), 32_000)
+    m = min(len(a_u8), len(a_c32))
+    assert m > 1000
+    # same recovered audio up to 8-bit quantization noise + path skew
+    corr = np.corrcoef(a_u8[200:m - 200], a_c32[200:m - 200])[0, 1]
+    assert corr > 0.99, corr
