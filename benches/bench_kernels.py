@@ -255,6 +255,81 @@ def bench_scan_stream():
          scan_msps=round(len(data) / t_scan / 1e6, 1))
 
 
+def bench_scan_stream_device():
+    """The compiled streaming runner with DEVICE-RESIDENT data: a source
+    whose chunks are device slices and a device-domain discard sink, so
+    nothing crosses the host boundary until one final scalar readback.
+    This is the e2e number a real TPU host sees (the plain scan_stream
+    bench is bounded by this image's ~20 MB/s host tunnel)."""
+    import jax as _jax
+
+    from rustradio_tpu import blocks
+    from rustradio_tpu.blocks.base import Block, SourceBlock
+    from rustradio_tpu.graph import Graph
+
+    chunk = 1 << 20 if on_tpu() else 1 << 14
+    n_chunks = 64 if on_tpu() else 8
+    taps = np.real(np.asarray(
+        tg.low_pass_complex(1_024_000.0, 100_000.0, 50_000.0, "hamming"))
+    ).astype(np.float32)
+
+    class DeviceSource(SourceBlock):
+        def __init__(self, n):
+            key = _jax.random.key(0)
+            self.buf = _jax.random.normal(key, (n,), jnp.float32)
+            self._slice = _jax.jit(
+                lambda b, o: _jax.lax.dynamic_slice_in_dim(b, o, chunk))
+
+        def total_len(self):
+            return self.buf.shape[0]
+
+        def emit(self, offset, n):
+            assert n == chunk
+            return self._slice(self.buf, offset)
+
+    class DevNullSink(Block):
+        domain = "device"
+        n_out = 0
+        jit_chunk = False
+
+        last = None
+
+        def apply(self, x):
+            self.last = x
+            return ()
+
+        def init_state(self):
+            return None
+
+        def apply_chunk(self, state, x):
+            self.last = x
+            return state, ()
+
+    def run(scan):
+        g = Graph()
+        sink = DevNullSink()
+        g.chain(
+            DeviceSource(chunk * n_chunks),
+            blocks.FirFilter(taps),
+            blocks.QuadratureDemod(1.0),
+            blocks.MultiplyConst(0.5),
+            sink,
+        )
+        g.run_stream(chunk_size=chunk, scan_chunks=scan)  # warm compiles
+        t0 = time.perf_counter()
+        g.run_stream(chunk_size=chunk, scan_chunks=scan)
+        # one readback forces the whole queued stream
+        float(jnp.sum(sink.last[-8:]))
+        return time.perf_counter() - t0
+
+    n = chunk * n_chunks
+    t_scan = min(run(n_chunks) for _ in range(3))
+    t_chunk = min(run(None) for _ in range(3))
+    emit(bench="scan_stream_device", chunk=chunk, n_chunks=n_chunks,
+         per_chunk_msps=round(n / t_chunk / 1e6, 1),
+         scan_msps=round(n / t_scan / 1e6, 1))
+
+
 BENCHES = {
     "fm_chain": bench_fm_chain,
     "bell202": bench_bell202_frontend,
@@ -264,6 +339,7 @@ BENCHES = {
     "channelizer": bench_channelizer,
     "decode_bank": bench_decode_bank,
     "scan_stream": bench_scan_stream,
+    "scan_stream_device": bench_scan_stream_device,
 }
 
 
