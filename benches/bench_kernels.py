@@ -279,6 +279,10 @@ def bench_scan_stream_device():
             self.buf = _jax.random.normal(key, (n,), jnp.float32)
             self._slice = _jax.jit(
                 lambda b, o: _jax.lax.dynamic_slice_in_dim(b, o, chunk))
+            self._slice_b = _jax.jit(
+                lambda b, o, _nb: _jax.lax.dynamic_slice_in_dim(
+                    b, o, _nb * chunk).reshape(_nb, chunk),
+                static_argnums=2)
 
         def total_len(self):
             return self.buf.shape[0]
@@ -286,6 +290,10 @@ def bench_scan_stream_device():
         def emit(self, offset, n):
             assert n == chunk
             return self._slice(self.buf, offset)
+
+        def emit_batch(self, offset, chunk_size, nb):
+            # ONE program for the whole stacked batch
+            return self._slice_b(self.buf, offset, nb)
 
     class DevNullSink(Block):
         domain = "device"
@@ -304,6 +312,9 @@ def bench_scan_stream_device():
         def apply_chunk(self, state, x):
             self.last = x
             return state, ()
+
+        def accept_batch(self, stacked):
+            self.last = stacked[-1]
 
     def run(scan):
         g = Graph()

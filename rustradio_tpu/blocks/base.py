@@ -96,6 +96,14 @@ class SourceBlock(Block):
     def emit_tags(self, offset: int, n: int) -> list[Tag]:
         return []
 
+    # Optional batch protocol for the compiled streaming runner
+    # (Graph.run_stream(scan_chunks=B)): a source may define
+    #   emit_batch(offset, chunk_size, nb) -> stacked (nb, chunk) array
+    # to produce a whole batch in ONE call (device-resident sources avoid
+    # nb per-chunk dispatch round trips).  Symmetrically, an n_out == 0
+    # device-domain block may define accept_batch(*stacked) to consume
+    # stacked outputs in one call (it then owns any per-chunk handling).
+
     def apply(self):
         total = self.total_len()
         if total is None:

@@ -1006,9 +1006,15 @@ class Graph:
                 continue
             if isinstance(b, SourceBlock):
                 t0 = time.perf_counter()
-                values[(node.idx, 0)] = [
-                    b.emit(offset + bi * chunk_size, chunk_size) for bi in range(nb)
-                ]
+                if hasattr(b, "emit_batch"):
+                    # batch-capable source: ONE call yields the stacked
+                    # (nb, chunk) block — no per-chunk dispatches
+                    values[(node.idx, 0)] = b.emit_batch(offset, chunk_size, nb)
+                else:
+                    values[(node.idx, 0)] = [
+                        b.emit(offset + bi * chunk_size, chunk_size)
+                        for bi in range(nb)
+                    ]
                 tags[(node.idx, 0)] = [
                     b.emit_tags(offset + bi * chunk_size, chunk_size)
                     for bi in range(nb)
@@ -1081,6 +1087,20 @@ class Graph:
                 continue
             # host block (incl. sinks): chunks one at a time, in order
             keys = [(p.node.idx, p.index) for p in node.inputs]
+            if (
+                b.n_out == 0
+                and hasattr(b, "accept_batch")
+                and not hasattr(b, "accept_tags")
+                and all(not isinstance(values[k], list) for k in keys)
+            ):
+                # batch-capable sink on stacked device inputs: ONE call,
+                # no per-chunk slicing dispatches
+                t0 = time.perf_counter()
+                b.accept_batch(*[values[k] for k in keys])
+                self._stats[node.idx] = self._stats.get(node.idx, 0.0) + (
+                    time.perf_counter() - t0
+                )
+                continue
             per_port = [[] for _ in range(max(b.n_out, 1))]
             per_port_tags = [[] for _ in range(max(b.n_out, 1))]
             t0 = time.perf_counter()

@@ -495,3 +495,24 @@ def test_scan_runner_preserves_tags():
     np.testing.assert_allclose(d0, d1)
     assert [t for t in t1 if t[1] in "abc"] == [t for t in t0 if t[1] in "abc"]
     assert len([t for t in t0 if t[1] in "abc"]) == 3
+
+
+def test_scan_runner_fanout_graph():
+    # a value consumed by TWO downstream paths (device + host sink on one
+    # side, filter chain on the other) must batch correctly
+    x = np.random.RandomState(0).randn(4096).astype(np.float32)
+
+    def run(scan):
+        g = Graph()
+        src = g.add(blocks.VectorSource(x))
+        f1 = g.add(blocks.FirFilter(np.asarray([0.5, 0.5], np.float32)), src)
+        s1 = g.add(blocks.VectorSink(), f1)
+        f2 = g.add(blocks.MultiplyConst(2.0), f1)
+        s2 = g.add(blocks.VectorSink(), f2)
+        g.run_stream(chunk_size=512, scan_chunks=scan)
+        return s1.block.data(), s2.block.data()
+
+    a0, b0 = run(None)
+    a1, b1 = run(4)
+    np.testing.assert_allclose(a0, a1, atol=1e-6)
+    np.testing.assert_allclose(b0, b1, atol=1e-6)

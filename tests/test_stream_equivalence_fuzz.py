@@ -81,8 +81,9 @@ def test_random_chain_stream_equals_offline(seed, scan):
     )
 
 
+@pytest.mark.parametrize("scan", [None, 3])
 @pytest.mark.parametrize("seed", range(4))
-def test_random_complex_chain_stream_equals_offline(seed):
+def test_random_complex_chain_stream_equals_offline(seed, scan):
     rng = np.random.RandomState(1000 + seed)
     data = (rng.randn(2000) + 1j * rng.randn(2000)).astype(np.complex64)
     nt = int(rng.randint(1, 9))
@@ -99,7 +100,7 @@ def test_random_complex_chain_stream_equals_offline(seed):
             sink,
         )
         if streaming:
-            g.run_stream(chunk_size=111)
+            g.run_stream(chunk_size=111, scan_chunks=scan)
         else:
             g.run()
         return sink.data()
