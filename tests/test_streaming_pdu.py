@@ -205,3 +205,31 @@ def test_stream_to_pdu_open_burst_memory_bounded():
     b.set_tags([Tag(0, "burst", False)])
     state, pdus = b.apply_chunk(state, np.zeros(10, np.float32))
     assert pdus == []
+
+
+def test_stream_to_pdu_under_scan_runner():
+    # burst machines are host blocks: the scan runner must hand them
+    # chunks in order with per-chunk tags, identical to per-chunk mode
+    from rustradio_tpu.streams import Tag
+
+    x = np.arange(6000, dtype=np.float32)
+    tags = [Tag(700, "burst", True), Tag(1200, "burst", False),
+            Tag(2900, "burst", True), Tag(4400, "burst", False)]
+
+    def run(scan):
+        g = Graph()
+        sink = blocks.PduVectorSink()
+        g.chain(
+            blocks.VectorSource(x, tags=tags),
+            blocks.MultiplyConst(2.0),
+            blocks.StreamToPdu("burst", max_size=100_000, tail=10),
+            sink,
+        )
+        g.run_stream(chunk_size=512, scan_chunks=scan)
+        return sink.pdus()
+
+    p0 = run(None)
+    p1 = run(4)
+    assert len(p0) == len(p1) == 2
+    for a, b in zip(p0, p1):
+        np.testing.assert_array_equal(np.asarray(a.data), np.asarray(b.data))
