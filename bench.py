@@ -120,50 +120,35 @@ def main() -> None:
         samples.append(n / t_c / 1e6)
     msps = sorted(samples)[len(samples) // 2]
 
-    # Secondary metric: 256-channel PFB channelizer aggregate rate (same
-    # dual-length differencing, shorter loops — it shares the one output
-    # line as an extra field to keep the driver's one-JSON-line contract).
+    # Secondary metric: 256-channel PFB channelizer aggregate rate, via
+    # the shared microbenchmark harness (benches/bench_kernels.timed_loop
+    # implements the CLAUDE.md dual-length/median method; the channelizer
+    # has no in-kernel SMEM offset hook, so its per-iteration variation
+    # is an x+s pass that biases the number slightly low).  It rides the
+    # single output line as an extra field (driver one-JSON-line
+    # contract).
     chan_msps = None
     if on_tpu:
         try:
+            from benches.bench_kernels import timed_loop
             from rustradio_tpu.parallel.channelizer import (
                 channelizer_taps, pfb_channelize,
             )
 
             nch = 256
             nc = 1 << 22
+            chan_taps = channelizer_taps(nch)
 
-            @jax.jit
-            def chan_loop(key, scales):
+            def make(key):
                 a, b = jax.random.normal(key, (2, nc), jnp.float32)
 
-                def body(c, s):
+                def body(s):
                     y = pfb_channelize(jax.lax.complex(a + s, b), chan_taps, nch)
-                    return c + jnp.sum(jnp.real(y) ** 2), ()
+                    return jnp.sum(jnp.real(y) ** 2)
 
-                c, _ = jax.lax.scan(body, jnp.float32(0.0), scales)
-                return c
+                return jnp.float32(0.0), body
 
-            # the channelizer has no in-kernel SMEM offset hook, so the
-            # per-iteration variation is an x+s pass — its extra traffic
-            # biases this number slightly low (benches/bench_kernels.py
-            # shares the limitation); loop lengths/median follow the
-            # CLAUDE.md rule (>=64 iters, median of 5)
-            chan_taps = channelizer_taps(nch)
-            ch_half = jnp.linspace(0.0, 0.001, 64).astype(jnp.float32)
-            ch_full = jnp.linspace(0.0, 0.001, 128).astype(jnp.float32)
-            float(chan_loop(key, ch_half))
-            float(chan_loop(key, ch_full))
-            cs = []
-            for _ in range(5):
-                t0 = time.perf_counter()
-                float(chan_loop(key, ch_half))
-                th = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                float(chan_loop(key, ch_full))
-                tf = time.perf_counter() - t0
-                cs.append(nc / max((tf - th) / 64, 1e-9) / 1e6)
-            chan_msps = round(sorted(cs)[len(cs) // 2], 1)
+            chan_msps = round(timed_loop(make, nc, iters=64), 1)
         except Exception:
             chan_msps = None
 

@@ -248,8 +248,10 @@ def bench_scan_stream():
         g.run_stream(chunk_size=chunk, scan_chunks=scan)
         return time.perf_counter() - t0
 
-    t_per_chunk = run(None)
-    t_scan = run(n_chunks)
+    # whole-run timing (no in-jit loop is possible for the host-driven
+    # graph); median of 5 runs rides out the tunnel's dispatch jitter
+    t_per_chunk = sorted(run(None) for _ in range(5))[2]
+    t_scan = sorted(run(n_chunks) for _ in range(5))[2]
     emit(bench="scan_stream", chunk=chunk, n_chunks=n_chunks,
          per_chunk_msps=round(len(data) / t_per_chunk / 1e6, 1),
          scan_msps=round(len(data) / t_scan / 1e6, 1))
@@ -334,8 +336,10 @@ def bench_scan_stream_device():
         return time.perf_counter() - t0
 
     n = chunk * n_chunks
-    t_scan = min(run(n_chunks) for _ in range(3))
-    t_chunk = min(run(None) for _ in range(3))
+    # median of 5 whole runs (CLAUDE.md: best-of-N biases upward under
+    # the tunnel's 30-100 ms jitter)
+    t_scan = sorted(run(n_chunks) for _ in range(5))[2]
+    t_chunk = sorted(run(None) for _ in range(5))[2]
     emit(bench="scan_stream_device", chunk=chunk, n_chunks=n_chunks,
          per_chunk_msps=round(n / t_chunk / 1e6, 1),
          scan_msps=round(n / t_scan / 1e6, 1))

@@ -39,6 +39,11 @@ def main(argv=None) -> int:
                    help="sim/rtl mode: capture length")
     opt = p.parse_args(argv)
 
+    iq = None
+    u8_planes = None
+    is_live = opt.read == "sim" or opt.read == "rtl" or opt.read.startswith("rtl:")
+    if is_live and opt.rtl_u8:
+        p.error("--rtl_u8 applies to capture files, not sim/rtl live input")
     if opt.read == "rtl" or opt.read.startswith("rtl:"):
         from ..hw import RtlDriver, SdrSource
 
@@ -76,15 +81,15 @@ def main(argv=None) -> int:
         iq = np.asarray(src.emit(0, int(opt.seconds * opt.sample_rate)))
         for t in src.emit_tags(0, len(iq)):
             print(f"tag {t.key} = {t.val}", file=sys.stderr)
-    u8_planes = None
-    if opt.rtl_u8:
+    if not is_live and opt.rtl_u8:
         raw = np.fromfile(opt.read, np.uint8)
         # keep the raw planes too: (u8 - 127) integers are exactly
         # representable in bf16, unlocking the fused w3 kernel path
         pairs = raw[: len(raw) // 2 * 2].reshape(-1, 2).astype(np.float32)
         u8_planes = (pairs[:, 0] - 127.0, pairs[:, 1] - 127.0)
         iq = rawfile.rtlsdr_decode(raw)
-    elif opt.read not in ("sim",) and not opt.read.startswith("rtl"):
+    elif not is_live:
+        # any other value of --read is a c32 capture file path
         iq = rawfile.read_samples(opt.read, "c32")
 
     import functools

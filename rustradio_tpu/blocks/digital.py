@@ -92,11 +92,15 @@ class CorrelateAccessCode(Block):
         if self.code.size == 0:
             raise ValueError("access code must be nonempty")
         self.allowed_diffs = allowed_diffs
+
+    # lowers to a HIGHEST XLA conv; keep out of pallas-flavored fused
+    # segments (Block.compile_group).  Lazy: _on_tpu() at construction
+    # would initialize the jax backend before the caller picks a platform.
+    @property
+    def compile_group(self):
         from ..ops.pallas_kernels import _on_tpu
 
-        # lowers to a HIGHEST XLA conv; keep out of pallas-flavored
-        # fused segments (Block.compile_group)
-        self.compile_group = "conv" if _on_tpu() else None
+        return "conv" if _on_tpu() else None
 
     def apply(self, x):
         return ops.correlate_access_code(x, self.code, self.allowed_diffs)

@@ -14,7 +14,12 @@ from .base import Block
 def _kernel_group(ntaps: int) -> str | None:
     """Fusion flavor on TPU: filters on the banded Pallas path are
     "pallas", longer ones lower to HIGHEST XLA convs ("conv") — the two
-    must not share a fused program (see Block.compile_group)."""
+    must not share a fused program (see Block.compile_group).
+
+    Called lazily (compile_group properties), never at block
+    construction: _on_tpu() touches jax.devices(), and initializing the
+    backend as a side effect of building a graph would defeat a later
+    jax.config.update("jax_platforms", ...)."""
     from ..ops.pallas_kernels import _on_tpu
 
     if not _on_tpu():
@@ -33,7 +38,10 @@ class FirFilter(Block):
         self.taps = np.asarray(taps)
         self.deci = deci
         self.translate = translate
-        self.compile_group = _kernel_group(len(self.taps))
+
+    @property
+    def compile_group(self):
+        return _kernel_group(len(self.taps))
 
     def apply(self, x):
         if self.translate is not None:
@@ -74,7 +82,11 @@ class FftFilter(Block):
         self.taps = np.asarray(taps)
         self.fft_size = fft_size
         real = not np.iscomplexobj(self.taps) or not np.any(np.imag(self.taps))
-        self.compile_group = _kernel_group(len(self.taps)) if real else None
+        self._real_taps = real
+
+    @property
+    def compile_group(self):
+        return _kernel_group(len(self.taps)) if self._real_taps else None
 
     def apply(self, x):
         return ops.filter_complex(x, self.taps, self.fft_size)
@@ -95,7 +107,10 @@ class FftFilterFloat(Block):
     def __init__(self, taps, fft_size: int | None = None):
         self.taps = np.asarray(taps, np.float32)
         self.fft_size = fft_size
-        self.compile_group = _kernel_group(len(self.taps))
+
+    @property
+    def compile_group(self):
+        return _kernel_group(len(self.taps))
 
     def apply(self, x):
         return ops.filter_float(x, self.taps, self.fft_size)
@@ -118,7 +133,10 @@ class Hilbert(Block):
             raise ValueError("hilbert filter len must be odd")
         self.ntaps = ntaps
         self.taps = tapgen.hilbert(ntaps, window)
-        self.compile_group = _kernel_group(ntaps)
+
+    @property
+    def compile_group(self):
+        return _kernel_group(self.ntaps)
 
     def apply(self, x):
         return ops.hilbert_transform(x, self.ntaps, taps=self.taps)

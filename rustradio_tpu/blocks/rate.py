@@ -41,12 +41,19 @@ class RationalResampler(Block):
         g = math.gcd(interp, deci)
         self.interp = interp // g
         self.deci = deci // g
-        # ops.rational_resampler's pure-decimation path lowers to a Pallas
-        # kernel on TPU; flavor the block so the fuser never co-compiles it
-        # with a HIGHEST conv (pathological XLA compile, see graph._segments)
+
+    # ops.rational_resampler's pure-decimation path lowers to a Pallas
+    # kernel on TPU; flavor the block so the fuser never co-compiles it
+    # with a HIGHEST conv (pathological XLA compile, see graph._segments).
+    # A property, NOT an __init__ assignment: touching jax.devices() at
+    # block-construction time would initialize the backend before the
+    # caller could select a platform (jax.config.update must precede
+    # first device use on this image).
+    @property
+    def compile_group(self):
         from ..ops.pallas_kernels import _on_tpu
 
-        self.compile_group = "pallas" if _on_tpu() else None
+        return "pallas" if _on_tpu() else None
 
     def apply(self, x):
         return ops.rational_resampler(x, self.interp, self.deci)

@@ -838,6 +838,28 @@ class Graph:
             },
         )
 
+    def _node_lens(self, node: Node, st, xs) -> list[int]:
+        """Output lengths of one apply_chunk call, via eval_shape — cached
+        by the (state, inputs) abstract signature so long scan-fallback
+        runs don't re-trace per chunk."""
+        import jax
+
+        def sig(a):
+            s = getattr(a, "shape", None)
+            return (tuple(s) if s is not None else tuple(np.shape(a)),
+                    str(getattr(a, "dtype", type(a))))
+
+        key = (node.idx, "nlens",
+               tuple(sig(l) for l in jax.tree_util.tree_leaves(st)),
+               tuple(sig(x) for x in xs))
+        cached = self._jit_cache.get(key)
+        if cached is None:
+            _, sds = jax.eval_shape(node.block.apply_chunk, st, *xs)
+            sds = sds if isinstance(sds, tuple) else (sds,)
+            cached = [sd.shape[0] if sd.shape else 0 for sd in sds]
+            self._jit_cache[key] = cached
+        return cached
+
     def _scan_precheck(self, key, raw, states_in, sds_args) -> bool:
         """A segment/block can scan only if its state pytree is shape-
         invariant chunk-to-chunk (lax.scan carry contract).  Cheap cached
@@ -1047,11 +1069,7 @@ class Graph:
                         self._record_cost(node.idx, fn, (st_in,) + tuple(args))
                         outs = out if isinstance(out, tuple) else (out,)
                         outs_per_port = list(outs)  # stacked
-                        _, sds = jax.eval_shape(b.apply_chunk, st_in, *sds_args)
-                        sds = sds if isinstance(sds, tuple) else (sds,)
-                        lens_pc = [
-                            [sd.shape[0] if sd.shape else 0 for sd in sds]
-                        ] * nb
+                        lens_pc = [self._node_lens(node, st_in, sds_args)] * nb
                 if not scannable:
                     fnc = self._device_call(node, "apply_chunk")
                     collected = [[] for _ in range(b.n_out)]
@@ -1059,11 +1077,7 @@ class Graph:
                     for bi in range(nb):
                         xs = [chunk_of(k, bi, "device") for k in keys]
                         st_b = states[node.idx]
-                        _, sds = jax.eval_shape(b.apply_chunk, st_b, *xs)
-                        sds = sds if isinstance(sds, tuple) else (sds,)
-                        lens_pc.append(
-                            [sd.shape[0] if sd.shape else 0 for sd in sds]
-                        )
+                        lens_pc.append(self._node_lens(node, st_b, xs))
                         with self._annotate(b.name()):
                             states[node.idx], out = fnc(st_b, *xs)
                         self._record_cost(node.idx, fnc, (st_b,) + tuple(xs))

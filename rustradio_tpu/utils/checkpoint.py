@@ -19,7 +19,14 @@ import numpy as np
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    # Pull DEVICE arrays to host; leave host-side leaves (numpy, scalars,
+    # and especially Tag objects riding e.g. StreamToPdu's state['tags'])
+    # untouched — np.asarray would wrap a Tag into a 0-d object ndarray
+    # and break attribute access after resume.
+    def pull(x):
+        return np.asarray(x) if isinstance(x, jax.Array) else x
+
+    return jax.tree_util.tree_map(pull, tree)
 
 
 def save_checkpoint(path: str, states: dict, offset: int, extra: dict | None = None):

@@ -183,3 +183,35 @@ def test_resume_flushes_clipped_burst(tmp_path):
 
     assert len(s3.pdus()) == 1
     np.testing.assert_array_equal(s3.pdus()[0].data, s1.pdus()[0].data)
+
+
+def test_resume_preserves_burst_interior_tags(tmp_path):
+    # non-burst tags collected into an OPEN burst's state ride the
+    # checkpoint as real Tag objects (np.asarray would wrap them into 0-d
+    # object arrays and break .pos/.key access after resume)
+    from rustradio_tpu.streams import Tag
+
+    x = np.arange(500, dtype=np.float32)
+    tags = [Tag(100, "burst", True), Tag(150, "mark", 7),
+            Tag(430, "burst", False)]
+    ckpt = str(tmp_path / "bt.npz")
+
+    def build():
+        g = Graph()
+        s = blocks.PduVectorSink()
+        g.chain(
+            blocks.VectorSource(x, tags=tags),
+            blocks.StreamToPdu("burst", max_size=100_000, tail=100),
+            s,
+        )
+        return g, s
+
+    g2, s2 = build()
+    g2.run_stream(chunk_size=125, max_chunks=4, checkpoint_path=ckpt,
+                  checkpoint_every=4)
+    g3, s3 = build()
+    g3.run_stream(chunk_size=125, resume_from=ckpt)
+    assert len(s3.pdus()) == 1
+    ptags = s3.pdus()[0].tags
+    assert any(isinstance(t, Tag) and t.key == "mark" and t.pos == 50
+               for t in ptags), ptags
