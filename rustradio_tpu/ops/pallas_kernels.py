@@ -79,11 +79,21 @@ def fast_atan2(y, x):
     return jnp.where(y < 0, -a, a)
 
 
-def _quad_kernel(re_ref, im_ref, pre_ref, pim_ref, out_ref, *, gain):
+def _quad_kernel(re_ref, im_ref, out_ref, *, gain):
     re = re_ref[:]
     im = im_ref[:]
-    re_prev = pre_ref[:]
-    im_prev = pim_ref[:]
+    # previous sample in row-major flat order, built from single-step
+    # lane/sublane rotations (same trick as the fused FM chain) — no
+    # shifted input copies ever touch HBM.  Each tile's first element
+    # wraps garbage; the caller recomputes the g-1 seam outputs in XLA.
+    lane = jax.lax.broadcasted_iota(jnp.int32, re.shape, 1)
+
+    def prev_of(y):
+        rot = pltpu.roll(y, 1, 1)
+        return jnp.where(lane == 0, pltpu.roll(rot, 1, 0), rot)
+
+    re_prev = prev_of(re)
+    im_prev = prev_of(im)
     # conj(prev) * cur
     dr = re_prev * re + im_prev * im
     di = re_prev * im - im_prev * re
@@ -96,7 +106,9 @@ def pallas_quad_demod(x, gain: float = 1.0, tile_rows: int = 1024):
     Same stream semantics as ops.quadrature_demod: N-1 outputs,
     y[n] = gain * atan2(im, re) of conj(x[n]) x[n+1].  Accuracy ~1e-4 rad
     (the reference's fast-math atan2 trades the same).  Tiled over a 1-D
-    grid with (tile_rows, 128) VMEM blocks.
+    grid with (tile_rows, 128) VMEM blocks; the previous-sample stream is
+    built in VMEM from rotations (r3 — the r2 version materialized two
+    extra shifted planes in HBM, ~16 B/sample of avoidable traffic).
     """
     x = jnp.asarray(x, jnp.complex64)
     if not _on_tpu():
@@ -110,10 +122,6 @@ def pallas_quad_demod(x, gain: float = 1.0, tile_rows: int = 1024):
     pad = rows_total * width - n
     re = jnp.pad(jnp.real(x), (0, pad))
     im = jnp.pad(jnp.imag(x), (0, pad))
-    # prev stream: x shifted right by one (XLA handles the shift; the
-    # kernel then reads aligned tiles only).
-    pre = jnp.pad(jnp.real(x), (1, pad))[:-1]
-    pim = jnp.pad(jnp.imag(x), (1, pad))[:-1]
     grid_rows = -(-rows_total // tile_rows)
     rpad = grid_rows * tile_rows - rows_total
 
@@ -128,13 +136,25 @@ def pallas_quad_demod(x, gain: float = 1.0, tile_rows: int = 1024):
         grid=(grid_rows,),
         in_specs=[
             pl.BlockSpec((tile_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
-            for _ in range(4)
+            for _ in range(2)
         ],
         out_specs=pl.BlockSpec(
             (tile_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-    )(as2d(re), as2d(im), as2d(pre), as2d(pim))
-    return out.reshape(-1)[1 : n]
+    )(as2d(re), as2d(im))
+    out = out.reshape(-1)
+    if grid_rows > 1:
+        # tile seams: output t0 = 128*tile_rows*k needs conj(x[t0-1])x[t0]
+        seams = np.arange(1, grid_rows) * (tile_rows * width)
+        seams = seams[seams < n]
+        if seams.size:
+            idx = jnp.asarray(seams)
+            d = jnp.conj(x[idx - 1]) * x[idx]
+            vals = jnp.float32(gain) * fast_atan2(
+                jnp.imag(d).astype(jnp.float32), jnp.real(d).astype(jnp.float32)
+            )
+            out = out.at[idx].set(vals)
+    return out[1:n]
 
 
 # ---------------------------------------------------------------- FIR
