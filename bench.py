@@ -148,7 +148,9 @@ def main() -> None:
 
                 return jnp.float32(0.0), body
 
-            chan_msps = round(timed_loop(make, nc, iters=64), 1)
+            # iters sized so the differenced time (~0.4 ms/iter x 384
+            # ~ 160 ms) clears the tunnel's 30-100 ms dispatch jitter
+            chan_msps = round(timed_loop(make, nc, iters=384), 1)
         except Exception:
             chan_msps = None
 
