@@ -226,8 +226,13 @@ def pallas_fir_decimate(x, taps, deci: int, tile_rows: int | None = None):
     """Decimating real FIR on the MXU: y[m] = sum_j taps[j] x[m*deci - j].
 
     Full-conv alignment (zero history) like fir_filter_full.  Real f32
-    path; complex inputs are filtered as two real streams.  HBM traffic is
-    input + output only — frames exist only as VMEM row slices.
+    path; complex inputs are filtered as two real streams — measured
+    FASTER than a fused two-output two-plane kernel (18.9 vs 8.7 Gsps at
+    601 taps: independent single-plane launches pipeline DMA/compute
+    against each other, while one doubled-footprint kernel starves the
+    grid pipeline; fusion pays only when it removes intermediate HBM
+    round trips, as in pallas_fm_chain).  HBM traffic is input + output
+    only — frames exist only as VMEM row slices.
     """
     taps = np.asarray(taps)
     if np.iscomplexobj(taps) or jnp.iscomplexobj(x):
@@ -265,9 +270,16 @@ def pallas_fir_decimate(x, taps, deci: int, tile_rows: int | None = None):
 
     wlen, nshift, nq, w = _fir_band_weights(taps, deci)
     if tile_rows is None:
-        # 1024 rows fits the 16 MB scoped-VMEM budget with double
-        # buffering and amortizes the grid pipeline best (measured)
-        tile_rows = 1024
+        # 1024 rows amortizes the grid pipeline best (measured) — but the
+        # scoped-VMEM footprint grows with the shift count (each of the
+        # nshift shift blocks lives as a (rows, ...) operand: ~tile_rows *
+        # nshift * 512 B at f32, plus the input/halo/output blocks and the
+        # weight stack), and a 2467-tap deci-1 filter measured 17.4 MB at
+        # tile 1024 — over the 16 MB limit.  Scale the tile down for long
+        # filters; ~10 MB budget leaves headroom for compiler temps.
+        budget = 10 << 20
+        denom = 512 * (nshift + 3 * deci)
+        tile_rows = min(1024, max(64, (budget - w.nbytes) // denom))
     tile_rows = max(tile_rows, nq)
     tile_rows += (-tile_rows) % 16  # keep main/halo block rows 8-divisible
     return _banded_call(
