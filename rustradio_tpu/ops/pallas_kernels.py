@@ -270,16 +270,7 @@ def pallas_fir_decimate(x, taps, deci: int, tile_rows: int | None = None):
 
     wlen, nshift, nq, w = _fir_band_weights(taps, deci)
     if tile_rows is None:
-        # 1024 rows amortizes the grid pipeline best (measured) — but the
-        # scoped-VMEM footprint grows with the shift count (each of the
-        # nshift shift blocks lives as a (rows, ...) operand: ~tile_rows *
-        # nshift * 512 B at f32, plus the input/halo/output blocks and the
-        # weight stack), and a 2467-tap deci-1 filter measured 17.4 MB at
-        # tile 1024 — over the 16 MB limit.  Scale the tile down for long
-        # filters; ~10 MB budget leaves headroom for compiler temps.
-        budget = 10 << 20
-        denom = 512 * (nshift + 3 * deci)
-        tile_rows = min(1024, max(64, (budget - w.nbytes) // denom))
+        tile_rows = _pick_tile_rows(deci, nshift, nq, w.nbytes)
     tile_rows = max(tile_rows, nq)
     tile_rows += (-tile_rows) % 16  # keep main/halo block rows 8-divisible
     return _banded_call(
@@ -287,6 +278,42 @@ def pallas_fir_decimate(x, taps, deci: int, tile_rows: int | None = None):
         functools.partial(_fir_band_kernel, deci=deci, nshift=nshift, nq=nq,
                           rows=tile_rows),
     )
+
+
+def _pick_tile_rows(deci: int, nshift: int, nq: int, w_bytes: int) -> int:
+    """Default tile height for the banded kernels.
+
+    1024 rows amortizes the grid pipeline best (measured), but two
+    scoped-VMEM effects cap it for long filters:
+
+    * each shift block lives as a (tile_rows, ...) operand, ~tile_rows *
+      nshift * 512 B at f32 total, plus the double-buffered input/output
+      blocks and the weight stack;
+    * _banded_tiling's halo fallback: when (tile_rows*deci) % hrows != 0
+      the halo block becomes a FULL extra input tile — a 2467-tap deci-1
+      filter measured 17.4 MB that way (over the 16 MB limit, a latent
+      OOM for any >~2000-tap banded filter until r3).
+
+    So pick the largest tile <= 1024 that (a) keeps the halo aligned
+    (tile_rows*deci divisible by hrows — the halo then stays nq*deci
+    rows) and (b) fits a ~14 MB budget model calibrated on the measured
+    OOM and known-good points.
+    """
+    import math
+
+    hrows = nq * deci + (-(nq * deci)) % 8
+    # scoped ~= 512*tile*(nshift + deci + 10) + w_bytes, calibrated on the
+    # measured 16.28 MB @ (tile 960, nshift 21, deci 1) and the known-good
+    # deci-4 points; 13 MB budget leaves margin under the 16 MB limit
+    budget = 13 << 20
+    cap = (budget - w_bytes) // (512 * (nshift + deci + 10))
+    tile = min(1024, max(64, cap))
+    # alignment: tile*deci % hrows == 0  <=>  tile % (hrows/gcd) == 0
+    r = hrows // math.gcd(hrows, deci)
+    L = 16 * r // math.gcd(16, r)  # lcm(16, r)
+    if L <= tile:
+        return (tile // L) * L
+    return tile + (-tile) % 16  # accept the full-halo fallback (small tile)
 
 
 def _banded_tiling(x, deci, nq, wlen, tile_rows):
