@@ -31,12 +31,21 @@ def symbol_sync(
     max_deviation: float = 0.5,
     clock_taps=(0.5, 0.5),
     state=None,
+    unroll: int = 1,
 ):
     """Returns ((values, mask, clocks), final_state).
 
     ``values[i]``/``clocks[i]`` are meaningful where ``mask[i]``;
     clocks carries the recovered clock (sps) at each emission, matching the
     reference's optional out_clock stream (src/symbol_sync.rs:100-113).
+
+    ``unroll`` is forwarded to ``lax.scan`` — it unrolls the per-sample
+    step body without changing its element-wise semantics (outputs stay
+    bit-identical; asserted in tests/test_multichannel.py), trading
+    program size for fewer sequential scan iterations.  On TPU the scan's
+    per-step overhead dominates this tiny body, so the vmapped decode
+    bank (models/multichannel.recover_symbols_batch) runs markedly faster
+    unrolled; see doc/performance.md "decode bank".
     """
     if not sps > 1.0:
         raise ValueError("sps must be > 1")
@@ -133,7 +142,7 @@ def symbol_sync(
         )
         return s, (out_val, emit, out_clk)
 
-    final, (vals, mask, clks) = jax.lax.scan(step, state, x)
+    final, (vals, mask, clks) = jax.lax.scan(step, state, x, unroll=unroll)
     return (vals, mask, clks), final
 
 

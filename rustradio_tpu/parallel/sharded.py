@@ -143,7 +143,7 @@ def sharded_bell202_demod(audio, samp_rate: float, mesh, axis: str = "time",
 
 def sharded_symbol_sync_bank(xs, sps: float, mesh, axis: str = "chan",
                              max_deviation: float = 0.5,
-                             clock_taps=(0.5, 0.5)):
+                             clock_taps=(0.5, 0.5), unroll: int = 16):
     """Clock recovery for a (C, N) bank of NRZ streams with the CHANNEL
     axis sharded over the mesh.
 
@@ -162,7 +162,10 @@ def sharded_symbol_sync_bank(xs, sps: float, mesh, axis: str = "chan",
         )
 
     def body(xs_local):
-        f = jax.vmap(lambda x: symbol_sync(x, sps, max_deviation, clock_taps)[0])
+        f = jax.vmap(
+            lambda x: symbol_sync(x, sps, max_deviation, clock_taps,
+                                  unroll=unroll)[0]
+        )
         return f(xs_local)
 
     return shard_map(

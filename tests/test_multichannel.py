@@ -43,6 +43,26 @@ def test_recover_symbols_batch_matches_single():
         np.testing.assert_allclose(np.asarray(vals)[c], np.asarray(v1), atol=1e-6)
 
 
+def test_symbol_sync_unroll_bit_exact():
+    # lax.scan unroll is a mechanical body unroll — every output and the
+    # final carry must be BIT-identical to the sequential scan (the native
+    # C++ equivalence tests depend on the scan's exact f32 association).
+    from rustradio_tpu.ops.symbol_sync import symbol_sync
+
+    rng = np.random.RandomState(7)
+    bits = rng.randint(0, 2, 60) * 2.0 - 1.0
+    x = np.repeat(bits, 11).astype(np.float32)
+    x += rng.randn(x.size).astype(np.float32) * 0.1
+    (v1, m1, c1), s1 = symbol_sync(x, 11.0, unroll=1)
+    for unroll in (4, 16, 37):
+        (v, m, c), s = symbol_sync(x, 11.0, unroll=unroll)
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(m1))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(c1))
+        for k in s1:
+            np.testing.assert_array_equal(np.asarray(s[k]), np.asarray(s1[k]))
+
+
 def test_decode_band_three_stations():
     fs = 512_000.0
     M = 16  # 32 kHz channels, ~26.7 samples/symbol
