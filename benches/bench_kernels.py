@@ -216,7 +216,7 @@ def bench_decode_bank():
 
     msps = timed_loop(make, nch * per, iters=8 if on_tpu() else 2)
     emit(bench=f"decode_bank/{nch}ch", msps=round(msps, 2), nch=nch,
-         per_channel_msps=round(msps / nch, 3))
+         per_channel_msps=round(msps / nch, 3), unroll=16)
 
 
 def bench_scan_stream():

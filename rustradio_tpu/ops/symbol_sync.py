@@ -146,11 +146,13 @@ def symbol_sync(
     return (vals, mask, clks), final
 
 
-def zero_crossing_sync(x, sps: float, max_deviation: float = 0.5, state=None):
+def zero_crossing_sync(x, sps: float, max_deviation: float = 0.5, state=None,
+                       unroll: int = 1):
     """Fixed-clock zero-crossing recovery (src/zero_crossing.rs:26-150).
 
     Emits the sample at sps/2 past each zero crossing, then every sps.
-    Returns ((values, mask), final_state).
+    Returns ((values, mask), final_state).  ``unroll`` as in
+    :func:`symbol_sync` (bit-identical, fewer scan steps).
     """
     if not sps > 1.0:
         raise ValueError("sps must be > 1")
@@ -179,7 +181,7 @@ def zero_crossing_sync(x, sps: float, max_deviation: float = 0.5, state=None):
         s = dict(last_sign=sign, last_cross=last_cross, counter=counter)
         return s, (sample, emit)
 
-    final, (vals, mask) = jax.lax.scan(step, state, x)
+    final, (vals, mask) = jax.lax.scan(step, state, x, unroll=unroll)
     return (vals, mask), final
 
 
