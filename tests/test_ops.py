@@ -264,6 +264,33 @@ def test_scramble_descramble_golden():
     np.testing.assert_array_equal(dsc[:16][17 - 17 :], dsc[:16])
 
 
+def test_scramble_blocked_matches_scan():
+    # The GF(2) block-parallel TX scrambler must be BIT-identical to the
+    # per-bit scan, including the final register state, for any length
+    # (tail handling) / mask / seed / resumed state.
+    rng = np.random.RandomState(11)
+    for n, mask, length, seed in [
+        (1024, 0x21, 16, 0),
+        (1500, 0x21, 16, 0x1FFFF),
+        (4096 + 37, 0x21, 16, 12345),
+        (2048, 0x9, 8, 3),
+    ]:
+        x = rng.randint(0, 2, n).astype(np.uint8)
+        fast, sf = ops.scramble(x, mask, length, seed)
+        slow, ss = ops.scramble(x, mask, length, seed, block=None)
+        np.testing.assert_array_equal(np.asarray(fast), np.asarray(slow))
+        np.testing.assert_array_equal(np.asarray(sf), np.asarray(ss))
+    # chunked streaming (state resume) == one-shot, crossing block sizes
+    x = rng.randint(0, 2, 3000).astype(np.uint8)
+    one, s1 = ops.scramble(x)
+    outs, st = [], None
+    for lo in range(0, 3000, 700):
+        y, st = ops.scramble(x[lo : lo + 700], state=st, seed=0)
+        outs.append(np.asarray(y))
+    np.testing.assert_array_equal(np.concatenate(outs), np.asarray(one))
+    np.testing.assert_array_equal(np.asarray(st), np.asarray(s1))
+
+
 def test_scramble_ones_golden():
     inp = np.ones(24, np.uint8)
     padded = np.concatenate([inp, np.zeros(17, np.uint8)])
