@@ -39,7 +39,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# When True, the TPU kernel paths run under Pallas interpret mode (pure
+# CPU emulation) instead of falling back to the XLA forms — lets the CPU
+# test suite cover the actual kernel bodies, tilings, and seam fixes
+# (tests/test_pallas_interpret.py).  Never set outside tests.
+_INTERPRET = False
+
+
 def _on_tpu() -> bool:
+    if _INTERPRET:
+        return True
     try:
         return jax.devices()[0].platform in ("tpu", "axon")
     except Exception:  # pragma: no cover
@@ -141,6 +150,7 @@ def pallas_quad_demod(x, gain: float = 1.0, tile_rows: int = 1024):
         out_specs=pl.BlockSpec(
             (tile_rows, width), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
+        interpret=_INTERPRET,
     )(as2d(re), as2d(im))
     out = out.reshape(-1)
     if grid_rows > 1:
@@ -351,6 +361,7 @@ def _banded_call(x, w, deci, nq, wlen, tile_rows, kern):
             pl.BlockSpec(np.shape(w), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=_INTERPRET,
     )(x2d, x2d, jnp.asarray(w))
     return out.reshape(-1)[:m]
 
@@ -545,6 +556,7 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
         out_specs=pl.BlockSpec(
             (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
+        interpret=_INTERPRET,
     )(off, xr2d, xr2d, xi2d, xi2d, wmat)
     audio = audio.reshape(-1)
     if g > 1:
