@@ -86,7 +86,7 @@ def bench_fm_chain():
     lp = np.real(np.asarray(
         tg.low_pass_complex(1_024_000.0, 100_000.0, 50_000.0, "hamming"))
     ).astype(np.float32)
-    for prec in ("w3", "highest", "split3", "w2"):
+    for prec in ("w3", "i8", "highest", "split3", "w2"):
         def make(key, _p=prec):
             a, b = jax.random.normal(key, (2, n), jnp.float32)
             a = jnp.round(jnp.clip(a * 38, -128, 127)) * jnp.float32(1 / 128)

@@ -109,6 +109,11 @@ def fm_demod_chain_planar(
     if precision in ("w2", "w3"):
         i32 = i32.astype(jnp.bfloat16).astype(jnp.float32)
         q32 = q32.astype(jnp.bfloat16).astype(jnp.float32)
+    elif precision == "i8":
+        # the s8 wire grid: clip(round(x*128), -127, 128)/128 — identity
+        # for 8-bit-sourced data, matching the kernel's _to_s8 mapping
+        i32 = jnp.clip(jnp.round(i32 * 128), -127, 128) * jnp.float32(1 / 128)
+        q32 = jnp.clip(jnp.round(q32 * 128), -127, 128) * jnp.float32(1 / 128)
     y = fft_filter_decimate(jax.lax.complex(i32, q32), lp, deci)
     y = y + jnp.asarray(dc_offset, jnp.float32) * jnp.complex64(
         complex(np.sum(lp)) * (1 + 1j)

@@ -326,10 +326,11 @@ def _pick_tile_rows(deci: int, nshift: int, nq: int, w_bytes: int) -> int:
     return tile + (-tile) % 16  # accept the full-halo fallback (small tile)
 
 
-def _banded_tiling(x, deci, nq, wlen, tile_rows):
+def _banded_tiling(x, deci, nq, wlen, tile_rows, pad_value=0):
     """Shared tiling/padding for the banded kernels: returns
     (x2d, hrows, g, m) — the padded (in_rows, 128) input view, the halo
-    block height, the grid size, and the output count."""
+    block height, the grid size, and the output count.  ``pad_value`` is
+    the encoding of sample 0 (e.g. -1 for the s8 wire-grid planes)."""
     n = x.shape[0]
     m = -(-n // deci)
     left = wlen - 1
@@ -340,7 +341,8 @@ def _banded_tiling(x, deci, nq, wlen, tile_rows):
     if (tile_rows * deci) % hrows:
         hrows = tile_rows * deci
         in_rows = (g + 1) * tile_rows * deci
-    xp = jnp.pad(x, (left, in_rows * 128 - n - left))
+    xp = jnp.pad(x, (left, in_rows * 128 - n - left),
+                 constant_values=pad_value)
     return xp.reshape(in_rows, 128), hrows, g, m
 
 
@@ -367,6 +369,26 @@ def _banded_call(x, w, deci, nq, wlen, tile_rows, kern):
 
 
 # ----------------------------------------------------- fused FM chain
+
+
+def _prev_demod(yr, yi, rows, gain):
+    """Quadrature discriminator on filtered planes held in VMEM: the
+    previous sample in row-major flat order is lane o-1 of the same row,
+    or lane 127 of the previous row — built from single-step lane/sublane
+    rotations (Mosaic has no narrow-column concat).  Each tile's first
+    element wraps garbage; callers recompute those g-1 boundary outputs
+    in XLA (two tiny dot products each)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+
+    def prev_of(y):
+        rot = pltpu.roll(y, 1, 1)
+        return jnp.where(lane == 0, pltpu.roll(rot, 1, 0), rot)
+
+    pr = prev_of(yr)
+    pi = prev_of(yi)
+    dr = pr * yr + pi * yi
+    di = pr * yi - pi * yr
+    return jnp.float32(gain) * fast_atan2(di, dr)
 
 
 def _fm_chain_kernel(off_ref, xr_ref, xrh_ref, xi_ref, xih_ref, w_ref,
@@ -420,23 +442,36 @@ def _fm_chain_kernel(off_ref, xr_ref, xrh_ref, xi_ref, xih_ref, w_ref,
 
     yr = fir(xr_ref, xrh_ref)
     yi = fir(xi_ref, xih_ref)
-    # prev filtered sample within the tile (row-major flat order): lane
-    # o-1 of the same row, or lane 127 of the previous row — built from
-    # single-step lane/sublane rotations (Mosaic has no narrow-column
-    # concat).  The tile's first element wraps garbage; the caller
-    # recomputes those g-1 boundary outputs in XLA (they're two tiny
-    # dot products each).
-    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    out_ref[:] = _prev_demod(yr, yi, rows, gain)
 
-    def prev_of(y):
-        rot = pltpu.roll(y, 1, 1)
-        return jnp.where(lane == 0, pltpu.roll(rot, 1, 0), rot)
 
-    pr = prev_of(yr)
-    pi = prev_of(yi)
-    dr = pr * yr + pi * yi
-    di = pr * yi - pi * yr
-    out_ref[:] = jnp.float32(gain) * fast_atan2(di, dr)
+def _fm_i8_kernel(off_ref, xr_ref, xrh_ref, xi_ref, xih_ref, w_ref,
+                  out_ref, *, deci, nshift, nq, rows, gain, scales, tapsum):
+    """int8-MXU variant: s8 planes x scaled-s8 tap terms, EXACT int32
+    accumulation (|acc| <= K*128*127 < 2^24, so the s32->f32 cast is
+    exact too).  int8 MXU passes run at 2x the bf16 rate and the planes
+    are 1 B/sample of HBM.  The wire grid's +1 shift (si8 = x*128 - 1)
+    folds post-dot with the DC offset, by linearity."""
+    K = nshift * 128
+    dc = (jnp.float32(1.0 / 128.0) + off_ref[0]) * jnp.float32(tapsum)
+
+    def fir(xm_ref, xh_ref):
+        blocks = _shift_blocks(xm_ref, xh_ref, deci=deci, nshift=nshift,
+                               nq=nq, rows=rows)
+        acc = jnp.zeros((rows, 128), jnp.float32)
+        for t in range(len(scales)):
+            ai = jnp.zeros((rows, 128), jnp.int32)
+            for A, k0, k in blocks:
+                ai = ai + jnp.dot(
+                    A, w_ref[t * K + k0 : t * K + k0 + k],
+                    preferred_element_type=jnp.int32,
+                )
+            acc = acc + jnp.float32(scales[t] / 128.0) * ai.astype(jnp.float32)
+        return acc + dc
+
+    yr = fir(xr_ref, xrh_ref)
+    yi = fir(xi_ref, xih_ref)
+    out_ref[:] = _prev_demod(yr, yi, rows, gain)
 
 
 def _w_split_bf16(w: np.ndarray, terms: int) -> np.ndarray:
@@ -452,6 +487,34 @@ def _w_split_bf16(w: np.ndarray, terms: int) -> np.ndarray:
         parts.append(h)
         r = r - h.astype(np.float32)
     return np.concatenate([p.reshape(w.shape) for p in parts], axis=0)
+
+
+def _w_split_s8(w: np.ndarray, terms: int):
+    """Scaled-s8 ladder of the static weight matrix: w ~= sum_k d_k s_k
+    with s_k int8 and d_k f32 scalars.  Residual after 3 terms is
+    ~(1/254)^3 of max|w| — below the f32 rounding of the taps themselves.
+    Returns (concat of the s_k along axis 0, scales tuple)."""
+    r = w.astype(np.float64)
+    mats, scales = [], []
+    for _ in range(terms):
+        m = np.max(np.abs(r))
+        if m == 0:
+            m = 1.0
+        d = np.float32(m / 127.0)
+        s = np.clip(np.round(r / np.float64(d)), -127, 127).astype(np.int8)
+        mats.append(s)
+        scales.append(float(d))
+        r = r - s.astype(np.float64) * np.float64(d)
+    return np.concatenate(mats, axis=0), tuple(scales)
+
+
+def _to_s8(x):
+    """f32 wire-grid plane ((u8 - 127)/128 levels) -> its exact s8 image
+    u8 - 128.  Off-grid values are clamped to the nearest level."""
+    return (
+        jnp.clip(jnp.round(jnp.asarray(x, jnp.float32) * 128.0), -127.0, 128.0)
+        .astype(jnp.int32) - 1
+    ).astype(jnp.int8)
 
 
 def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
@@ -486,6 +549,12 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
       v5e vs ~23 for "highest").  "w2" trades to ~2.4e-3 rad for ~59.
       Any DC offset (e.g. the 127.4 rtl-sdr convention) must ride the
       ``offset`` scalar — it folds in AFTER the dots, exactly.
+    * ``"i8"`` — planes are mapped to **int8** (exact for the same 8-bit
+      wire grid: si8 = x*128 - 1 = u8 - 128; off-grid values clamp), the
+      taps into 3 scaled-s8 terms, and every dot accumulates EXACTLY in
+      int32 (|acc| <= K*128*127 < 2^24).  ~3e-5 rad vs float64.  int8
+      MXU passes run at 2x the bf16 rate and planes are 1 B/sample of
+      HBM — quarter the "w3" plane traffic.
     """
     taps = np.asarray(taps)
     if np.iscomplexobj(taps):
@@ -494,6 +563,7 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
         taps = np.real(taps)
     taps = taps.astype(np.float32)
     exact_input = precision in ("w2", "w3")
+    int8_input = precision == "i8"
     if exact_input:
         xr = jnp.asarray(xr).astype(jnp.bfloat16)
         xi = jnp.asarray(xi).astype(jnp.bfloat16)
@@ -516,7 +586,10 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
         )
 
     wlen, nshift, nq, w = _fir_band_weights(taps, deci)
-    if exact_input:
+    if int8_input:
+        wcat, scales = _w_split_s8(w, 3)
+        wmat = jnp.asarray(wcat)
+    elif exact_input:
         wmat = jnp.asarray(_w_split_bf16(w, 2 if precision == "w2" else 3))
     else:
         wmat = jnp.asarray(w)
@@ -527,13 +600,26 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
         tile_rows = 1024
     tile_rows = max(tile_rows, nq)
     tile_rows += (-tile_rows) % 16
-    xr2d, hrows, g, m = _banded_tiling(xr, deci, nq, wlen, tile_rows)
-    xi2d, _, _, _ = _banded_tiling(xi, deci, nq, wlen, tile_rows)
+    if int8_input:
+        # kernel planes: exact s8 image, zero history = pad -1; the f32
+        # planes stay live for the seam windows below
+        kr, ki = _to_s8(xr), _to_s8(xi)
+        xr2d, hrows, g, m = _banded_tiling(kr, deci, nq, wlen, tile_rows,
+                                           pad_value=-1)
+        xi2d, _, _, _ = _banded_tiling(ki, deci, nq, wlen, tile_rows,
+                                       pad_value=-1)
+        kern = functools.partial(
+            _fm_i8_kernel, deci=deci, nshift=nshift, nq=nq, rows=tile_rows,
+            gain=gain, scales=scales, tapsum=tapsum,
+        )
+    else:
+        xr2d, hrows, g, m = _banded_tiling(xr, deci, nq, wlen, tile_rows)
+        xi2d, _, _, _ = _banded_tiling(xi, deci, nq, wlen, tile_rows)
+        kern = functools.partial(
+            _fm_chain_kernel, deci=deci, nshift=nshift, nq=nq, rows=tile_rows,
+            gain=gain, precision=precision, tapsum=tapsum,
+        )
     hblocks_per_tile = tile_rows * deci // hrows
-    kern = functools.partial(
-        _fm_chain_kernel, deci=deci, nshift=nshift, nq=nq, rows=tile_rows,
-        gain=gain, precision=precision, tapsum=tapsum,
-    )
     main_spec = pl.BlockSpec(
         (tile_rows * deci, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
     )

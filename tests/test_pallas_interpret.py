@@ -77,7 +77,8 @@ def _fm_chain_f64(xr, xi, taps, deci, gain):
 
 @pytest.mark.parametrize(
     "precision,atol",
-    [("highest", 2e-4), ("w3", 3e-4), ("w2", 8e-3), ("split3", 8e-3)],
+    [("highest", 2e-4), ("w3", 3e-4), ("w2", 8e-3), ("split3", 8e-3),
+     ("i8", 3e-4)],
 )
 def test_fm_chain_interpret_all_precisions(interpret_kernels, precision, atol):
     rng = np.random.RandomState(3)
@@ -97,7 +98,8 @@ def test_fm_chain_interpret_all_precisions(interpret_kernels, precision, atol):
     np.testing.assert_allclose(got, want, atol=atol)
 
 
-def test_fm_chain_interpret_offset_fold(interpret_kernels):
+@pytest.mark.parametrize("precision", ["w3", "i8"])
+def test_fm_chain_interpret_offset_fold(interpret_kernels, precision):
     # DC offset folds in post-dot: filter(x + c) = filter(x) + c*sum(taps)
     rng = np.random.RandomState(4)
     n = 128 * 128 * 4
@@ -107,7 +109,7 @@ def test_fm_chain_interpret_offset_fold(interpret_kernels):
     c = 0.3125  # exact bf16 so the f64 model sees the same value
     got = np.asarray(
         pk.pallas_fm_chain(a, b, taps, 4, 1.0, tile_rows=128, offset=c,
-                           precision="w3")
+                           precision=precision)
     )
     want = _fm_chain_f64(a.astype(np.float64) + c, b.astype(np.float64) + c,
                          taps, 4, 1.0)
