@@ -30,10 +30,12 @@ from .ax25 import Ax25Packet
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sps", "max_deviation", "clock_taps", "unroll")
+    jax.jit,
+    static_argnames=("sps", "max_deviation", "clock_taps", "unroll", "method"),
 )
 def recover_symbols_batch(xs, sps: float, max_deviation: float = 0.5,
-                          clock_taps=(0.5, 0.5), unroll: int = 16):
+                          clock_taps=(0.5, 0.5), unroll: int = 16,
+                          method: str = "scan"):
     """Vmapped SymbolSync over a (C, N) batch of NRZ streams.
 
     Returns (values, mask, clocks), each (C, N) — all C sequential
@@ -42,13 +44,25 @@ def recover_symbols_batch(xs, sps: float, max_deviation: float = 0.5,
     ``unroll`` unrolls the scan body (bit-identical outputs — lax.scan's
     mechanical unroll); the per-step dispatch overhead dominates this
     VPU-tiny body on TPU, so unrolled banks run several times faster.
-    """
-    from ..ops.symbol_sync import symbol_sync
 
-    f = jax.vmap(
-        lambda x: symbol_sync(x, sps, max_deviation, clock_taps,
-                              unroll=unroll)[0]
-    )
+    ``method="events"`` switches to :func:`ops.symbol_sync.
+    symbol_sync_events`: the sequential chain shrinks from N samples to
+    N//4 zero-crossing slots (decode-equivalent, not bit-identical —
+    see its docstring).  Channels whose crossing count exceeds the slot
+    budget fall back poorly; check against clean NRZ front-ends only.
+    """
+    from ..ops.symbol_sync import symbol_sync, symbol_sync_events
+
+    if method == "events":
+        f = jax.vmap(
+            lambda x: symbol_sync_events(x, sps, max_deviation, clock_taps,
+                                         unroll=unroll)[0]
+        )
+    else:
+        f = jax.vmap(
+            lambda x: symbol_sync(x, sps, max_deviation, clock_taps,
+                                  unroll=unroll)[0]
+        )
     return f(jnp.asarray(xs, jnp.float32))
 
 

@@ -146,6 +146,150 @@ def symbol_sync(
     return (vals, mask, clks), final
 
 
+def symbol_sync_events(x, sps: float, max_deviation: float = 0.5,
+                       clock_taps=(0.5, 0.5), max_events: int | None = None,
+                       unroll: int = 8):
+    """Event-driven reformulation of :func:`symbol_sync` — the TPU-native
+    decode-bank path.
+
+    The reference recurrence (src/symbol_sync.rs:115-218) only mutates
+    its clock state at zero CROSSINGS (sign(x[n]) != sign(x[n-1]) — a
+    vectorized precompute), and between crossings emissions follow the
+    catch-up race ``emit at n iff n >= mid + clock * e(n-1)`` whose
+    closed form is ``e(n) = min(n - p_k, max(0, floor((n - mid)/clock)
+    + 1))``.  So the per-sample scan collapses to (1) a scan over the
+    ``max_events`` crossing slots — the only true sequential chain — and
+    (2) a vectorized emission-mask pass (the same floor-difference trick
+    as ops/wpcr.py).  All positions are kept event-relative so f32 stays
+    exact without the reference's step-back renormalization.
+
+    NOT bit-identical to the scan: the emit comparison and the
+    ``next_sym_middle`` catch-up use closed forms instead of repeated
+    f32 adds, so on heavily noise-chattered input an emission can land
+    one sample off (measured: identical decoded bits up to noise sigma
+    0.3 on a unit NRZ corpus; ~1 bit/400 differs at sigma 0.6, where the
+    bit is genuinely ambiguous).  Use :func:`symbol_sync` when exact
+    reference/native equivalence matters; this form when throughput
+    does — the sequential chain shrinks by ~``n / max_events``.
+
+    Returns ``((values, mask, clocks), valid)`` where ``valid`` is False
+    if the input had more than ``max_events`` crossings (results are
+    then untrustworthy; re-run with a bigger budget or fall back).
+    ``max_events`` defaults to ``len(x)//4``.  No streaming state —
+    whole-burst use (the decode-bank case).
+    """
+    if not sps > 1.0:
+        raise ValueError("sps must be > 1")
+    x = jnp.asarray(x, F)
+    n = int(x.shape[0])
+    if max_events is None:
+        max_events = max(8, n // 4)
+    taps = np.asarray(clock_taps, np.float32)
+    order = len(taps) - 1
+    sps32 = F(np.float32(sps))
+    mi = F(np.float32(sps) - np.float32(max_deviation))
+    mx = F(np.float32(sps) + np.float32(max_deviation))
+    tap0 = F(taps[0])
+    fb = jnp.asarray(taps[1:], F)
+
+    sign = x > F(0.0)
+    changed = jnp.concatenate([sign[:1], sign[1:] != sign[:-1]])
+    events = jnp.flatnonzero(changed, size=max_events, fill_value=n)
+    valid = jnp.sum(changed) <= max_events
+
+    def clock_filter(fbuf, sample):
+        ret = tap0 * sample
+        for j in range(order):
+            ret = ret + fb[j] * fbuf[j]
+        ret = jnp.clip(ret, mi - sps32, mx - sps32)
+        if order > 0:
+            fbuf = jnp.concatenate([ret[None], fbuf[:-1]])
+        return fbuf, ret
+
+    def event_step(s, p):
+        is_pad = p >= n
+        gap_i = p - s["p_prev"]
+        gap = gap_i.astype(F)
+        # emissions in (p_prev, p] bump mid BEFORE the crossing adjusts
+        e_unc = jnp.floor((gap - s["mid_off"]) / s["clock"]).astype(jnp.int32) + 1
+        e = jnp.clip(e_unc, 0, gap_i)
+        mid_off_p = s["mid_off"] + e.astype(F) * s["clock"] - gap  # rel p
+
+        # TED: t = time since last boundary, reduced toward clock.  For
+        # t0 <= mx + clock this is the reference's exact sequential f32
+        # while-loop; longer gaps (and the padding slots) pre-reduce in
+        # closed form so the loop is bounded to ~3 trips — those events
+        # land far outside in_range anyway, so the f32-association
+        # difference never reaches the clock filter.
+        t0 = gap + s["bnd_off"]
+        k0 = jnp.maximum(F(0.0), jnp.floor((t0 - mx) / s["clock"]) - F(1.0))
+        t0 = t0 - k0 * s["clock"]
+
+        def wcond(t):
+            t2 = t - s["clock"]
+            keep = jnp.abs(t - s["clock"]) >= jnp.abs(t2 - s["clock"])
+            return (t > mx) & keep
+
+        t = jax.lax.while_loop(wcond, lambda t: t - s["clock"], t0)
+        in_range = (t > mi * F(0.8)) & (t < mx * F(1.2))
+        do_adjust = (p > 0) & s["have_boundary"]
+        apply = do_adjust & in_range & ~is_pad
+
+        fbuf2, filt = clock_filter(s["fbuf"], t - sps32)
+        new_clock = filt + sps32
+        # next_sym_middle = last_boundary + clock/2, bumped to >= p
+        # (closed form of the reference's catch-up while-loop)
+        nm0 = new_clock / F(2.0) - t0  # rel p
+        k = jnp.maximum(F(0.0), jnp.ceil(-nm0 / new_clock))
+        nm = nm0 + k * new_clock
+
+        clock = jnp.where(apply, new_clock, s["clock"])
+        mid_off = jnp.where(apply, nm, mid_off_p)
+        fbuf = jnp.where(apply, fbuf2, s["fbuf"])
+        s2 = dict(
+            clock=clock,  # apply already excludes padding slots
+            p_prev=jnp.where(is_pad, s["p_prev"], p),
+            mid_off=jnp.where(is_pad, s["mid_off"], mid_off),
+            bnd_off=jnp.where(is_pad, s["bnd_off"], F(0.0)),
+            have_boundary=jnp.where(is_pad, s["have_boundary"], p > 0),
+            fbuf=jnp.where(is_pad, s["fbuf"], fbuf),
+        )
+        return s2, (s2["mid_off"], s2["clock"])
+
+    state0 = dict(
+        clock=sps32,
+        p_prev=jnp.int32(-1),
+        mid_off=sps32 / F(2.0) + F(1.0),  # mid = sps/2, rel p_prev = -1
+        bnd_off=F(1.0),                   # last_boundary = 0, rel -1
+        have_boundary=jnp.asarray(False),
+        fbuf=jnp.full((max(order, 1),), sps32, F),
+    )
+    _, (ev_mid, ev_clock) = jax.lax.scan(
+        event_step, state0, events.astype(jnp.int32), unroll=unroll
+    )
+
+    # ---- vectorized emission mask over all samples ------------------
+    p_tab = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                             events.astype(jnp.int32)])
+    mid_tab = jnp.concatenate([state0["mid_off"][None], ev_mid])
+    clk_tab = jnp.concatenate([state0["clock"][None], ev_clock])
+    eid = jnp.cumsum(changed.astype(jnp.int32)) - changed.astype(jnp.int32)
+    p_k = jnp.take(p_tab, eid)
+    mid_k = jnp.take(mid_tab, eid)
+    clk_k = jnp.take(clk_tab, eid)
+    ns = jnp.arange(n, dtype=jnp.int32)
+    rel = (ns - p_k).astype(F)
+
+    def e_of(r, ri):
+        unc = jnp.floor((r - mid_k) / clk_k).astype(jnp.int32) + 1
+        return jnp.clip(unc, 0, ri)
+
+    e_n = e_of(rel, ns - p_k)
+    e_nm1 = e_of(rel - F(1.0), ns - p_k - 1)
+    mask = e_n > e_nm1
+    return (x, mask, clk_k), valid
+
+
 def zero_crossing_sync(x, sps: float, max_deviation: float = 0.5, state=None,
                        unroll: int = 1):
     """Fixed-clock zero-crossing recovery (src/zero_crossing.rs:26-150).

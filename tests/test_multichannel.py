@@ -43,6 +43,73 @@ def test_recover_symbols_batch_matches_single():
         np.testing.assert_allclose(np.asarray(vals)[c], np.asarray(v1), atol=1e-6)
 
 
+def _decoded_bits(vals, mask):
+    v = np.asarray(vals)[np.asarray(mask)]
+    return (v > 0).astype(np.int8)
+
+
+def test_symbol_sync_events_decode_equivalent():
+    # The event-driven form trades bit-exactness for an ~sps-times shorter
+    # sequential chain; the contract is identical DECODED BITS vs the scan
+    # on realistically noisy NRZ (sigma <= 0.3 on unit symbols).
+    from rustradio_tpu.ops.symbol_sync import symbol_sync, symbol_sync_events
+
+    rng = np.random.RandomState(3)
+    for sps in (10.0, 26.667):
+        for sigma in (0.0, 0.1, 0.3):
+            bits = rng.randint(0, 2, 120) * 2.0 - 1.0
+            x = np.repeat(bits, int(round(sps))).astype(np.float32)
+            x += rng.randn(x.size).astype(np.float32) * sigma
+            (v1, m1, _), _ = symbol_sync(x, sps)
+            (v2, m2, _), valid = symbol_sync_events(x, sps)
+            assert bool(valid)
+            b1, b2 = _decoded_bits(v1, m1), _decoded_bits(v2, m2)
+            np.testing.assert_array_equal(
+                b1, b2, err_msg=f"sps={sps} sigma={sigma}"
+            )
+
+
+def test_symbol_sync_events_valid_flag():
+    from rustradio_tpu.ops.symbol_sync import symbol_sync_events
+
+    rng = np.random.RandomState(5)
+    # alternating-sign noise: a crossing nearly every sample
+    x = rng.randn(512).astype(np.float32)
+    _, valid = symbol_sync_events(x, 8.0, max_events=16)
+    assert not bool(valid)
+    _, valid = symbol_sync_events(x, 8.0, max_events=512)
+    assert bool(valid)
+
+
+def test_recover_symbols_batch_events_method():
+    from rustradio_tpu.ops.symbol_sync import symbol_sync_events
+
+    rng = np.random.RandomState(11)
+    bits = rng.randint(0, 2, (3, 80)) * 2.0 - 1.0
+    xs = np.repeat(bits, 10, axis=1).astype(np.float32)
+    xs += rng.randn(*xs.shape).astype(np.float32) * 0.05
+    vals, mask, _ = recover_symbols_batch(xs, 10.0, method="events")
+    for c in range(3):
+        (v1, m1, _), _ = symbol_sync_events(xs[c], 10.0)
+        np.testing.assert_array_equal(np.asarray(mask)[c], np.asarray(m1))
+        np.testing.assert_allclose(np.asarray(vals)[c], np.asarray(v1), atol=1e-6)
+
+
+def test_symbol_sync_events_unroll_invariant():
+    from rustradio_tpu.ops.symbol_sync import symbol_sync_events
+
+    rng = np.random.RandomState(13)
+    bits = rng.randint(0, 2, 100) * 2.0 - 1.0
+    x = np.repeat(bits, 9).astype(np.float32)
+    x += rng.randn(x.size).astype(np.float32) * 0.2
+    (v1, m1, c1), _ = symbol_sync_events(x, 9.0, unroll=1)
+    for unroll in (4, 16):
+        (v, m, c), _ = symbol_sync_events(x, 9.0, unroll=unroll)
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(m1))
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(v1))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(c1))
+
+
 def test_symbol_sync_unroll_bit_exact():
     # lax.scan unroll is a mechanical body unroll — every output and the
     # final carry must be BIT-identical to the sequential scan (the native
