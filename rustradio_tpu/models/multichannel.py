@@ -106,6 +106,7 @@ def decode_band_ax25(
     max_active: int = 8,
     power_floor_db: float = -40.0,
     fix_bits: bool = False,
+    sync_method: str = "scan",
 ) -> list[ChannelDecode]:
     """Channelize a wideband capture and decode AX.25 on every active
     channel concurrently.
@@ -113,7 +114,10 @@ def decode_band_ax25(
     ``max_active`` bounds the decode bank (static shapes); channels are
     picked by power above ``power_floor_db`` relative to the strongest.
     The per-channel rate samp_rate/n_channels must give > 2 samples per
-    symbol at ``baud``.
+    symbol at ``baud``.  ``sync_method="events"`` uses the event-driven
+    clock recovery (~sps-times shorter sequential chain per channel —
+    see :func:`ops.symbol_sync.symbol_sync_events`); ``"scan"`` is the
+    bit-exact reference recurrence.
     """
     M = int(n_channels)
     fs = float(samp_rate)
@@ -142,7 +146,8 @@ def decode_band_ax25(
         return []
 
     nrz = _bank_demod(ch, jnp.asarray(active), chan_rate)
-    vals, mask, _ = recover_symbols_batch(np.asarray(nrz), sps)
+    vals, mask, _ = recover_symbols_batch(np.asarray(nrz), sps,
+                                          method=sync_method)
     vals, mask = np.asarray(vals), np.asarray(mask)
 
     out: list[ChannelDecode] = []

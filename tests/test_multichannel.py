@@ -160,6 +160,17 @@ def test_decode_band_three_stations():
         assert payload in got[k]
 
 
+def test_decode_band_events_method():
+    fs = 512_000.0
+    iq = _fm_upconvert(_afsk_audio(b"EVENTS>APRS:bank", 32_000.0),
+                       32_000.0, fs, 2 * fs / 16)
+    wide = np.concatenate([iq, np.zeros(4096, np.complex64)])
+    results = decode_band_ax25(wide, fs, n_channels=16, max_active=4,
+                               sync_method="events")
+    got = {r.channel: [bytes(p) for p in r.packets] for r in results}
+    assert 2 in got and b"EVENTS>APRS:bank" in got[2]
+
+
 def test_decode_band_rejects_too_many_channels():
     with pytest.raises(ValueError):
         decode_band_ax25(np.zeros(1024, np.complex64), 48_000.0, n_channels=64)
