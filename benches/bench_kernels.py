@@ -197,26 +197,49 @@ def bench_bell202_frontend():
 
 
 def bench_decode_bank():
-    """Channel-parallel clock recovery: vmapped symbol_sync scan over a
-    bank of channels (VERDICT r2 weak item 5)."""
+    """Channel-parallel clock recovery: vmapped symbol_sync over a bank of
+    channels (VERDICT r2 weak item 5) — the bit-exact per-sample scan vs
+    the event-driven reformulation (sequential chain ~n/sps instead of n).
+
+    Input is realistic NRZ (random bits held for sps samples + noise) so
+    the events path's crossing budget reflects real decode-bank load; the
+    scan's runtime is data-independent so its row stays comparable to r3's
+    noise-input numbers."""
     from rustradio_tpu.models.multichannel import recover_symbols_batch
 
-    nch = 64 if on_tpu() else 8
-    per = 1 << 16 if on_tpu() else 1 << 12
+    nch = 64 if on_tpu() else 4
+    per = 1 << 16 if on_tpu() else 1 << 10
     sps = 36.75
+    rep = int(round(sps))
+    nbits = per // rep + 1
 
-    def make(key):
-        nrz = jax.random.normal(key, (nch, per), jnp.float32)
+    def make_nrz(key):
+        kb, kn = jax.random.split(key)
+        bits = jax.random.rademacher(kb, (nch, nbits), jnp.float32)
+        nrz = jnp.repeat(bits, rep, axis=1)[:, :per]
+        return nrz + 0.1 * jax.random.normal(kn, (nch, per), jnp.float32)
 
-        def body(s):
-            vals, mask, _ = recover_symbols_batch(nrz + s, sps, 0.5, (0.5, 0.5))
-            return jnp.sum(vals) + jnp.sum(mask)
+    # events budget: ~4x the expected crossing count for random NRZ
+    budget = max(1024, 4 * per // rep)
 
-        return jnp.float32(0.0), body
+    for method, kw in (("scan", {}), ("events", {"max_events": budget})):
+        def make(key, method=method, kw=kw):
+            nrz = make_nrz(key)
 
-    msps = timed_loop(make, nch * per, iters=8 if on_tpu() else 2)
-    emit(bench=f"decode_bank/{nch}ch", msps=round(msps, 2), nch=nch,
-         per_channel_msps=round(msps / nch, 3), unroll=16)
+            def body(s):
+                vals, mask, _ = recover_symbols_batch(
+                    nrz + s, sps, 0.5, (0.5, 0.5), method=method, **kw)
+                return jnp.sum(vals) + jnp.sum(mask)
+
+            return jnp.float32(0.0), body
+
+        iters = 8 if on_tpu() else 2
+        if method == "events" and on_tpu():
+            iters = 64
+        msps = timed_loop(make, nch * per, iters=iters)
+        name = "decode_bank" if method == "scan" else "decode_bank_events"
+        emit(bench=f"{name}/{nch}ch", msps=round(msps, 2), nch=nch,
+             per_channel_msps=round(msps / nch, 3), unroll=16)
 
 
 def bench_scan_stream():

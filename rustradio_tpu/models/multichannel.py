@@ -31,11 +31,12 @@ from .ax25 import Ax25Packet
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sps", "max_deviation", "clock_taps", "unroll", "method"),
+    static_argnames=("sps", "max_deviation", "clock_taps", "unroll", "method",
+                     "max_events"),
 )
 def recover_symbols_batch(xs, sps: float, max_deviation: float = 0.5,
                           clock_taps=(0.5, 0.5), unroll: int = 16,
-                          method: str = "scan"):
+                          method: str = "scan", max_events: int | None = None):
     """Vmapped SymbolSync over a (C, N) batch of NRZ streams.
 
     Returns (values, mask, clocks), each (C, N) — all C sequential
@@ -47,15 +48,18 @@ def recover_symbols_batch(xs, sps: float, max_deviation: float = 0.5,
 
     ``method="events"`` switches to :func:`ops.symbol_sync.
     symbol_sync_events`: the sequential chain shrinks from N samples to
-    N//4 zero-crossing slots (decode-equivalent, not bit-identical —
-    see its docstring).  Channels whose crossing count exceeds the slot
-    budget fall back poorly; check against clean NRZ front-ends only.
+    ``max_events`` zero-crossing slots (default N//4; for clean NRZ a
+    budget of ~4x the expected crossing count, N/sps * 2, is ample and
+    much faster).  Decode-equivalent, not bit-identical — see its
+    docstring.  Channels whose crossing count exceeds the slot budget
+    fall back poorly; check against clean NRZ front-ends only.
     """
     from ..ops.symbol_sync import symbol_sync, symbol_sync_events
 
     if method == "events":
         f = jax.vmap(
             lambda x: symbol_sync_events(x, sps, max_deviation, clock_taps,
+                                         max_events=max_events,
                                          unroll=unroll)[0]
         )
     else:

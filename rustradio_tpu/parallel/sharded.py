@@ -143,7 +143,9 @@ def sharded_bell202_demod(audio, samp_rate: float, mesh, axis: str = "time",
 
 def sharded_symbol_sync_bank(xs, sps: float, mesh, axis: str = "chan",
                              max_deviation: float = 0.5,
-                             clock_taps=(0.5, 0.5), unroll: int = 16):
+                             clock_taps=(0.5, 0.5), unroll: int = 16,
+                             method: str = "scan",
+                             max_events: int | None = None):
     """Clock recovery for a (C, N) bank of NRZ streams with the CHANNEL
     axis sharded over the mesh.
 
@@ -151,9 +153,11 @@ def sharded_symbol_sync_bank(xs, sps: float, mesh, axis: str = "chan",
     channels — the multi-chip form of the channel-parallel receiver
     (models/multichannel.py): channels never talk to each other, so the
     shard needs no halos at all.  Returns (values, mask, clocks), each
-    (C, N), sharded like the input.
+    (C, N), sharded like the input.  ``method="events"`` selects the
+    event-driven form (see ops.symbol_sync.symbol_sync_events — decode-
+    equivalent, ~sps-times shorter sequential chain per channel).
     """
-    from ..ops.symbol_sync import symbol_sync
+    from ..ops.symbol_sync import symbol_sync, symbol_sync_events
 
     n_sh = mesh.shape[axis]
     if xs.shape[0] % n_sh:
@@ -162,10 +166,18 @@ def sharded_symbol_sync_bank(xs, sps: float, mesh, axis: str = "chan",
         )
 
     def body(xs_local):
-        f = jax.vmap(
-            lambda x: symbol_sync(x, sps, max_deviation, clock_taps,
-                                  unroll=unroll)[0]
-        )
+        if method == "events":
+            f = jax.vmap(
+                lambda x: symbol_sync_events(x, sps, max_deviation,
+                                             clock_taps,
+                                             max_events=max_events,
+                                             unroll=unroll)[0]
+            )
+        else:
+            f = jax.vmap(
+                lambda x: symbol_sync(x, sps, max_deviation, clock_taps,
+                                      unroll=unroll)[0]
+            )
         return f(xs_local)
 
     return shard_map(

@@ -216,3 +216,11 @@ def test_sharded_symbol_sync_bank(mesh):
 
     with pytest.raises(ValueError):
         sharded_symbol_sync_bank(xs[:5], float(sps), cmesh)
+
+    # events method: sharded == single-device events bank
+    vals_e, mask_e, _ = sharded_symbol_sync_bank(
+        xs, float(sps), cmesh, method="events")
+    vals1, mask1, _ = recover_symbols_batch(xs, float(sps), method="events")
+    np.testing.assert_array_equal(np.asarray(mask_e), np.asarray(mask1))
+    np.testing.assert_allclose(np.asarray(vals_e), np.asarray(vals1),
+                               atol=1e-6)
