@@ -69,6 +69,30 @@ def test_symbol_sync_events_decode_equivalent():
             )
 
 
+def test_symbol_sync_events_fuzz_params():
+    # randomized sweep over sps / max_deviation / clock-filter order:
+    # decoded bits must match the scan exactly at noise sigma <= 0.3
+    from rustradio_tpu.ops.symbol_sync import symbol_sync, symbol_sync_events
+
+    rng = np.random.RandomState(42)
+    tap_sets = [(0.5, 0.5), (0.25, 0.75), (0.4, 0.3, 0.3),
+                (0.25, 0.25, 0.25, 0.25)]
+    for trial in range(8):
+        sps = float(rng.uniform(3.0, 40.0))
+        max_dev = float(rng.choice([0.1, 0.5, 1.0]))
+        taps = tap_sets[trial % len(tap_sets)]
+        sigma = float(rng.choice([0.0, 0.15, 0.3]))
+        bits = rng.randint(0, 2, 100) * 2.0 - 1.0
+        x = np.repeat(bits, int(round(sps))).astype(np.float32)
+        x += rng.randn(x.size).astype(np.float32) * sigma
+        (v1, m1, _), _ = symbol_sync(x, sps, max_dev, taps)
+        (v2, m2, _), valid = symbol_sync_events(x, sps, max_dev, taps)
+        assert bool(valid)
+        np.testing.assert_array_equal(
+            _decoded_bits(v1, m1), _decoded_bits(v2, m2),
+            err_msg=f"sps={sps:.2f} dev={max_dev} taps={taps} sigma={sigma}")
+
+
 def test_symbol_sync_events_valid_flag():
     from rustradio_tpu.ops.symbol_sync import symbol_sync_events
 
