@@ -40,13 +40,37 @@ Prints exactly one JSON line:
 """
 
 import json
+import subprocess
+import sys
 import time
+
+BASELINE_MSPS = 85.4  # reference ax25-1200-rx: 79.4 Msamples / 0.929 s
+
+
+def _device_init_ok(timeout: float = 150.0) -> bool:
+    """Probe device init in a SUBPROCESS: when the axon tunnel is down,
+    jax.devices() blocks indefinitely in-process and the benchmark (and
+    the driver waiting on it) would hang.  A dead probe -> CPU fallback,
+    honestly labeled via the "platform" field."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout, capture_output=True, text=True,
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
+if not _device_init_ok():
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-BASELINE_MSPS = 85.4  # reference ax25-1200-rx: 79.4 Msamples / 0.929 s
 
 
 def main() -> None:
@@ -173,6 +197,7 @@ def main() -> None:
         "vs_baseline": round(msps / BASELINE_MSPS, 2),
         "gbps": round(gbps, 1),
         "roofline_pct": round(100 * gbps / roof, 1),
+        "platform": dev.platform,
     }
     if chan_msps is not None:
         row["channelizer_256ch_msps"] = chan_msps
