@@ -26,6 +26,24 @@ if "--cpu" in sys.argv:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+else:
+    # Probe device init in a subprocess: a dead axon tunnel blocks
+    # jax.devices() in-process forever (same guard as bench.py).
+    import subprocess
+
+    try:
+        _r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=150, capture_output=True, text=True,
+        )
+        _ok = _r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        _ok = False
+    if not _ok:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
 import jax
 import jax.numpy as jnp
