@@ -37,6 +37,10 @@ def main(argv=None) -> int:
                         "(one vmapped clock-recovery scan for the whole band)")
     p.add_argument("--max_active", type=int, default=8,
                    help="--decode: channel bank size")
+    p.add_argument("--sync", choices=["scan", "events"], default="scan",
+                   help="--decode clock recovery: 'scan' = bit-exact "
+                        "per-sample recurrence, 'events' = event-driven "
+                        "(~sps-times shorter sequential chain)")
     p.add_argument("-o", "--out", help="write demodulated channel audio (.f32)")
     p.add_argument("--frequency", type=parse_frequency, default=100_000_000.0,
                    help="sim mode: tuner center frequency")
@@ -76,7 +80,7 @@ def main(argv=None) -> int:
 
         results = decode_band_ax25(
             iq, float(opt.sample_rate), n_channels=opt.channels,
-            max_active=opt.max_active,
+            max_active=opt.max_active, sync_method=opt.sync,
         )
         for r in results:
             for pkt in r.packets:

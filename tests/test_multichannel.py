@@ -211,7 +211,8 @@ def test_scanner_decode_flag(tmp_path, capsys):
     path = str(tmp_path / "band.c32")
     rawfile.write_samples(path, wide, "c32")
     assert scanner.main(["-r", path, "--sample_rate", "512k", "-n", "16",
-                         "--decode", "--max_active", "4"]) == 0
+                         "--decode", "--max_active", "4",
+                         "--sync", "events"]) == 0
     cap = capsys.readouterr()
     # packet decoded on channel 2 (the payload is raw ASCII, not a real
     # AX.25 address block, so only the channel line format is stable)
