@@ -21,29 +21,32 @@ import os
 import sys
 import time
 
-if "--cpu" in sys.argv:
-    sys.argv.remove("--cpu")
+def _setup_platform() -> None:
+    """--cpu forces CPU; otherwise probe device init in a SUBPROCESS —
+    a dead axon tunnel blocks jax.devices() in-process forever (same
+    guard as bench.py).  Called from __main__ only, BEFORE any backend
+    init, so importing this module (bench.py borrows timed_loop) never
+    spawns a probe."""
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-else:
-    # Probe device init in a subprocess: a dead axon tunnel blocks
-    # jax.devices() in-process forever (same guard as bench.py).
+    if "--cpu" in sys.argv:
+        sys.argv.remove("--cpu")
+        jax.config.update("jax_platforms", "cpu")
+        return
     import subprocess
 
     try:
-        _r = subprocess.run(
+        r = subprocess.run(
             [sys.executable, "-c",
              "import jax; print(jax.devices()[0].platform)"],
             timeout=150, capture_output=True, text=True,
         )
-        _ok = _r.returncode == 0
+        ok = r.returncode == 0
     except (subprocess.TimeoutExpired, OSError):
-        _ok = False
-    if not _ok:
-        import jax
-
+        ok = False
+    if not ok:
         jax.config.update("jax_platforms", "cpu")
+
 
 import jax
 import jax.numpy as jnp
@@ -93,6 +96,9 @@ def timed_loop(make_body, n_samples, iters=None, reps=5):
 
 
 def emit(**kw):
+    # platform label distinguishes a CPU-fallback row (dead tunnel /
+    # --cpu) from a real TPU measurement in the JSONL history
+    kw.setdefault("platform", jax.devices()[0].platform)
     print(json.dumps(kw), flush=True)
 
 
@@ -406,4 +412,5 @@ def main(argv):
 
 
 if __name__ == "__main__":
+    _setup_platform()
     main(sys.argv[1:])

@@ -32,11 +32,12 @@ from .ax25 import Ax25Packet
 @functools.partial(
     jax.jit,
     static_argnames=("sps", "max_deviation", "clock_taps", "unroll", "method",
-                     "max_events"),
+                     "max_events", "return_valid"),
 )
 def recover_symbols_batch(xs, sps: float, max_deviation: float = 0.5,
                           clock_taps=(0.5, 0.5), unroll: int = 16,
-                          method: str = "scan", max_events: int | None = None):
+                          method: str = "scan", max_events: int | None = None,
+                          return_valid: bool = False):
     """Vmapped SymbolSync over a (C, N) batch of NRZ streams.
 
     Returns (values, mask, clocks), each (C, N) — all C sequential
@@ -52,7 +53,9 @@ def recover_symbols_batch(xs, sps: float, max_deviation: float = 0.5,
     budget of ~4x the expected crossing count, N/sps * 2, is ample and
     much faster).  Decode-equivalent, not bit-identical — see its
     docstring.  Channels whose crossing count exceeds the slot budget
-    fall back poorly; check against clean NRZ front-ends only.
+    produce untrustworthy symbols: pass ``return_valid=True`` to also
+    get the per-channel overflow flags (a 4th output, all-True for the
+    scan method) and fall back per channel.
     """
     from ..ops.symbol_sync import symbol_sync, symbol_sync_events
 
@@ -60,14 +63,21 @@ def recover_symbols_batch(xs, sps: float, max_deviation: float = 0.5,
         f = jax.vmap(
             lambda x: symbol_sync_events(x, sps, max_deviation, clock_taps,
                                          max_events=max_events,
-                                         unroll=unroll)[0]
+                                         unroll=unroll)
         )
-    else:
+        (vals, mask, clks), valid = f(jnp.asarray(xs, jnp.float32))
+    elif method == "scan":
         f = jax.vmap(
             lambda x: symbol_sync(x, sps, max_deviation, clock_taps,
                                   unroll=unroll)[0]
         )
-    return f(jnp.asarray(xs, jnp.float32))
+        vals, mask, clks = f(jnp.asarray(xs, jnp.float32))
+        valid = jnp.ones(vals.shape[0], bool)
+    else:
+        raise ValueError(f"unknown method {method!r}; use 'scan' or 'events'")
+    if return_valid:
+        return vals, mask, clks, valid
+    return vals, mask, clks
 
 
 @functools.partial(jax.jit, static_argnames=("chan_rate",))
@@ -150,9 +160,27 @@ def decode_band_ax25(
         return []
 
     nrz = _bank_demod(ch, jnp.asarray(active), chan_rate)
-    vals, mask, _ = recover_symbols_batch(np.asarray(nrz), sps,
-                                          method=sync_method)
-    vals, mask = np.asarray(vals), np.asarray(mask)
+    nrz_np = np.asarray(nrz)
+    if sync_method == "events":
+        # budget ~4x the expected crossing count (power-of-2 bucketed so
+        # repeat calls share compiles), never below the N//4 safety net's
+        # own sequential win
+        want = max(1024, int(4 * nrz_np.shape[1] / sps))
+        budget = 1 << (want - 1).bit_length()
+        vals, mask, _, valid = recover_symbols_batch(
+            nrz_np, sps, method="events", max_events=budget,
+            return_valid=True)
+        vals, mask = np.array(vals), np.array(mask)
+        bad = ~np.asarray(valid)
+        if bad.any():
+            # chatter beyond the budget: those channels re-run bit-exact
+            vs, ms, _ = recover_symbols_batch(nrz_np, sps)
+            vals[bad] = np.asarray(vs)[bad]
+            mask[bad] = np.asarray(ms)[bad]
+    else:
+        vals, mask, _ = recover_symbols_batch(nrz_np, sps,
+                                              method=sync_method)
+        vals, mask = np.asarray(vals), np.asarray(mask)
 
     out: list[ChannelDecode] = []
     for row, k in enumerate(active):

@@ -218,12 +218,13 @@ def symbol_sync_events(x, sps: float, max_deviation: float = 0.5,
         # TED: t = time since last boundary, reduced toward clock.  For
         # t0 <= mx + clock this is the reference's exact sequential f32
         # while-loop; longer gaps (and the padding slots) pre-reduce in
-        # closed form so the loop is bounded to ~3 trips — those events
-        # land far outside in_range anyway, so the f32-association
-        # difference never reaches the clock filter.
-        t0 = gap + s["bnd_off"]
-        k0 = jnp.maximum(F(0.0), jnp.floor((t0 - mx) / s["clock"]) - F(1.0))
-        t0 = t0 - k0 * s["clock"]
+        # closed form so the loop is bounded to ~3 trips.  The reduced t
+        # CAN land in_range for long gaps (whole symbol runs during
+        # acquisition), so the raw offset is kept for the next_sym_middle
+        # computation below — only the TED residue uses the reduction.
+        t0_raw = gap + s["bnd_off"]
+        k0 = jnp.maximum(F(0.0), jnp.floor((t0_raw - mx) / s["clock"]) - F(1.0))
+        t0 = t0_raw - k0 * s["clock"]
 
         def wcond(t):
             t2 = t - s["clock"]
@@ -238,10 +239,13 @@ def symbol_sync_events(x, sps: float, max_deviation: float = 0.5,
         fbuf2, filt = clock_filter(s["fbuf"], t - sps32)
         new_clock = filt + sps32
         # next_sym_middle = last_boundary + clock/2, bumped to >= p
-        # (closed form of the reference's catch-up while-loop)
-        nm0 = new_clock / F(2.0) - t0  # rel p
+        # (closed form of the reference's catch-up while-loop; the RAW
+        # boundary offset, not the TED-reduced one — the reference bumps
+        # from the true last_boundary).  The reference's repeated adds
+        # end at v >= stream_pos, so clamp the f32 rounding to >= 0.
+        nm0 = new_clock / F(2.0) - t0_raw  # rel p
         k = jnp.maximum(F(0.0), jnp.ceil(-nm0 / new_clock))
-        nm = nm0 + k * new_clock
+        nm = jnp.maximum(nm0 + k * new_clock, F(0.0))
 
         clock = jnp.where(apply, new_clock, s["clock"])
         mid_off = jnp.where(apply, nm, mid_off_p)

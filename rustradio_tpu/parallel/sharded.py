@@ -145,7 +145,8 @@ def sharded_symbol_sync_bank(xs, sps: float, mesh, axis: str = "chan",
                              max_deviation: float = 0.5,
                              clock_taps=(0.5, 0.5), unroll: int = 16,
                              method: str = "scan",
-                             max_events: int | None = None):
+                             max_events: int | None = None,
+                             return_valid: bool = False):
     """Clock recovery for a (C, N) bank of NRZ streams with the CHANNEL
     axis sharded over the mesh.
 
@@ -155,7 +156,9 @@ def sharded_symbol_sync_bank(xs, sps: float, mesh, axis: str = "chan",
     shard needs no halos at all.  Returns (values, mask, clocks), each
     (C, N), sharded like the input.  ``method="events"`` selects the
     event-driven form (see ops.symbol_sync.symbol_sync_events — decode-
-    equivalent, ~sps-times shorter sequential chain per channel).
+    equivalent, ~sps-times shorter sequential chain per channel);
+    ``return_valid=True`` appends the per-channel budget-overflow flags
+    (all-True for the scan method) as a 4th output.
     """
     from ..ops.symbol_sync import symbol_sync, symbol_sync_events
 
@@ -164,6 +167,8 @@ def sharded_symbol_sync_bank(xs, sps: float, mesh, axis: str = "chan",
         raise ValueError(
             f"channel count {xs.shape[0]} must be divisible by {n_sh} shards"
         )
+    if method not in ("scan", "events"):
+        raise ValueError(f"unknown method {method!r}; use 'scan' or 'events'")
 
     def body(xs_local):
         if method == "events":
@@ -171,22 +176,28 @@ def sharded_symbol_sync_bank(xs, sps: float, mesh, axis: str = "chan",
                 lambda x: symbol_sync_events(x, sps, max_deviation,
                                              clock_taps,
                                              max_events=max_events,
-                                             unroll=unroll)[0]
+                                             unroll=unroll)
             )
+            (vals, mask, clks), valid = f(xs_local)
         else:
             f = jax.vmap(
                 lambda x: symbol_sync(x, sps, max_deviation, clock_taps,
                                       unroll=unroll)[0]
             )
-        return f(xs_local)
+            vals, mask, clks = f(xs_local)
+            valid = jnp.ones(vals.shape[0], bool)
+        return vals, mask, clks, valid
 
-    return shard_map(
+    vals, mask, clks, valid = shard_map(
         body,
         mesh=mesh,
         in_specs=(P(axis, None),),
-        out_specs=(P(axis, None), P(axis, None), P(axis, None)),
+        out_specs=(P(axis, None), P(axis, None), P(axis, None), P(axis)),
         check_vma=False,
     )(jnp.asarray(xs, jnp.float32))
+    if return_valid:
+        return vals, mask, clks, valid
+    return vals, mask, clks
 
 
 def sharded_fm_demod(

@@ -69,6 +69,32 @@ def test_symbol_sync_events_decode_equivalent():
             )
 
 
+def test_symbol_sync_events_long_runs():
+    # Crossing gaps >= mx + 2*clock (legal NRZI runs during acquisition)
+    # exercise the closed-form catch-up: next_sym_middle must be computed
+    # from the RAW boundary offset, not the TED-reduced one (a reduced
+    # offset shifts the emission phase by multiple samples).
+    from rustradio_tpu.ops.symbol_sync import symbol_sync, symbol_sync_events
+
+    rng = np.random.RandomState(21)
+    for sps in (10.0, 26.667):
+        # long same-symbol runs up front and sprinkled through
+        bits = np.concatenate([
+            np.ones(6), -np.ones(1), np.ones(1),
+            (rng.randint(0, 2, 40) * 2.0 - 1.0),
+            -np.ones(7), np.ones(1),
+            (rng.randint(0, 2, 40) * 2.0 - 1.0),
+        ])
+        x = np.repeat(bits, int(round(sps))).astype(np.float32)
+        x += rng.randn(x.size).astype(np.float32) * 0.1
+        (v1, m1, _), _ = symbol_sync(x, sps)
+        (v2, m2, _), valid = symbol_sync_events(x, sps)
+        assert bool(valid)
+        np.testing.assert_array_equal(
+            _decoded_bits(v1, m1), _decoded_bits(v2, m2),
+            err_msg=f"sps={sps}")
+
+
 def test_symbol_sync_events_fuzz_params():
     # randomized sweep over sps / max_deviation / clock-filter order:
     # decoded bits must match the scan exactly at noise sigma <= 0.3
@@ -117,6 +143,21 @@ def test_recover_symbols_batch_events_method():
         (v1, m1, _), _ = symbol_sync_events(xs[c], 10.0)
         np.testing.assert_array_equal(np.asarray(mask)[c], np.asarray(m1))
         np.testing.assert_allclose(np.asarray(vals)[c], np.asarray(v1), atol=1e-6)
+
+
+def test_recover_symbols_batch_valid_and_method_validation():
+    rng = np.random.RandomState(17)
+    # heavy chatter: a crossing nearly every sample overflows a small budget
+    noisy = rng.randn(3, 2048).astype(np.float32)
+    v, m, c, valid = recover_symbols_batch(noisy, 8.0, method="events",
+                                           max_events=64, return_valid=True)
+    assert not bool(np.asarray(valid).any())
+    # scan method reports all-valid
+    *_, valid = recover_symbols_batch(noisy[:, :256], 8.0, method="scan",
+                                      return_valid=True)
+    assert bool(np.asarray(valid).all())
+    with pytest.raises(ValueError, match="unknown method"):
+        recover_symbols_batch(noisy, 8.0, method="event")
 
 
 def test_symbol_sync_events_unroll_invariant():
@@ -200,7 +241,8 @@ def test_decode_band_rejects_too_many_channels():
         decode_band_ax25(np.zeros(1024, np.complex64), 48_000.0, n_channels=64)
 
 
-def test_scanner_decode_flag(tmp_path, capsys):
+@pytest.mark.parametrize("sync", ["scan", "events"])
+def test_scanner_decode_flag(tmp_path, capsys, sync):
     from rustradio_tpu.apps import scanner
     from rustradio_tpu.io import rawfile
 
@@ -212,7 +254,7 @@ def test_scanner_decode_flag(tmp_path, capsys):
     rawfile.write_samples(path, wide, "c32")
     assert scanner.main(["-r", path, "--sample_rate", "512k", "-n", "16",
                          "--decode", "--max_active", "4",
-                         "--sync", "events"]) == 0
+                         "--sync", sync]) == 0
     cap = capsys.readouterr()
     # packet decoded on channel 2 (the payload is raw ASCII, not a real
     # AX.25 address block, so only the channel line format is stable)
