@@ -63,7 +63,16 @@ def _device_init_ok(timeout: float = 150.0) -> bool:
         return False
 
 
-if not _device_init_ok():
+import os
+
+if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+    # honor an explicit CPU request (precommit.sh): this image's
+    # sitecustomize force-registers the axon backend over the env var,
+    # so route it through jax.config like __graft_entry__ does
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+elif not _device_init_ok():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
