@@ -29,8 +29,9 @@ def _setup_platform() -> None:
     spawns a probe."""
     import jax
 
-    if "--cpu" in sys.argv:
-        sys.argv.remove("--cpu")
+    if "--cpu" in sys.argv or "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        if "--cpu" in sys.argv:
+            sys.argv.remove("--cpu")
         jax.config.update("jax_platforms", "cpu")
         return
     import subprocess
