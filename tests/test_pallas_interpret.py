@@ -98,6 +98,28 @@ def test_fm_chain_interpret_all_precisions(interpret_kernels, precision, atol):
     np.testing.assert_allclose(got, want, atol=atol)
 
 
+@pytest.mark.parametrize("deci,ntaps", [(1, 31), (1, 128), (4, 128)])
+def test_fm_chain_interpret_i8_deci_taps_matrix(interpret_kernels, deci,
+                                                ntaps):
+    # the i8 ladder must stay exact-int32 across decimations and tap
+    # counts (|acc| bound scales with K = nshift*128)
+    rng = np.random.RandomState(6)
+    n = 128 * 128 * deci + 57
+    a = (rng.randint(0, 256, n).astype(np.float32) - 127.0) / 128.0
+    b = (rng.randint(0, 256, n).astype(np.float32) - 127.0) / 128.0
+    taps = np.asarray(
+        np.hamming(ntaps) * np.sinc(0.18 * (np.arange(ntaps) - ntaps // 2)),
+        np.float32,
+    )
+    got = np.asarray(
+        pk.pallas_fm_chain(a, b, taps, deci, 0.8, tile_rows=128,
+                           precision="i8")
+    )
+    want = _fm_chain_f64(a, b, taps, deci, 0.8)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+    assert float(np.max(np.abs(got - want))) < 5e-4
+
+
 @pytest.mark.parametrize("precision", ["w3", "i8"])
 def test_fm_chain_interpret_offset_fold(interpret_kernels, precision):
     # DC offset folds in post-dot: filter(x + c) = filter(x) + c*sum(taps)
