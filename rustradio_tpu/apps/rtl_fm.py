@@ -31,6 +31,11 @@ def main(argv=None) -> int:
     p.add_argument("--volume", type=float, default=1.0)
     p.add_argument("--out", required=True, help=".au output file")
     p.add_argument("--rtl_u8", action="store_true", help="input is RTL-SDR u8 IQ")
+    p.add_argument("--precision", choices=["w3", "i8"], default="w3",
+                   help="--rtl_u8 fused-kernel precision: 'w3' bf16-exact "
+                        "planes (3 MXU passes), 'i8' int8-MXU planes "
+                        "(exact s32 accumulation, 2x pass rate, 1/4 the "
+                        "plane HBM)")
     p.add_argument("--frequency", type=parse_frequency, default=100_000_000.0,
                    help="sim/rtl mode: tuner center frequency")
     p.add_argument("--sim_tone", action="append", default=[],
@@ -83,10 +88,12 @@ def main(argv=None) -> int:
             print(f"tag {t.key} = {t.val}", file=sys.stderr)
     if not is_live and opt.rtl_u8:
         raw = np.fromfile(opt.read, np.uint8)
-        # keep the raw planes too: (u8 - 127) integers are exactly
-        # representable in bf16, unlocking the fused w3 kernel path
+        # keep the raw planes too, on the (u8 - 127)/128 wire grid: exact
+        # in bf16 (w3) AND the s8 image the i8 kernel expects; the demod
+        # is scale-invariant so the normalization is free
         pairs = raw[: len(raw) // 2 * 2].reshape(-1, 2).astype(np.float32)
-        u8_planes = (pairs[:, 0] - 127.0, pairs[:, 1] - 127.0)
+        u8_planes = ((pairs[:, 0] - 127.0) / 128.0,
+                     (pairs[:, 1] - 127.0) / 128.0)
         iq = rawfile.rtlsdr_decode(raw)
     elif not is_live:
         # any other value of --read is a c32 capture file path
@@ -109,23 +116,25 @@ def main(argv=None) -> int:
         demod = ops.quadrature_demod(y, sr / (2 * np.pi * dev))
         return ops.rational_resampler(demod, int(ar), int(sr))
 
-    @functools.partial(jax.jit, static_argnames=("sr", "ar", "cutoff", "dev"))
-    def chain_u8(i_pl, q_pl, sr, ar, cutoff, dev):
+    @functools.partial(jax.jit,
+                       static_argnames=("sr", "ar", "cutoff", "dev", "prec"))
+    def chain_u8(i_pl, q_pl, sr, ar, cutoff, dev, prec):
         # 8-bit wire format: the whole filter+demod runs as ONE fused
-        # Pallas memory pass with bf16-exact planes (precision="w3" —
-        # f32-level parity, ~2.3x the f32 path; models/fm.py).  The demod
-        # is scale-invariant, so the 1/128 decode scale is skipped.
+        # Pallas memory pass with exact planes — "w3" bf16 (f32-level
+        # parity, ~2.3x the f32 path) or "i8" int8-MXU (exact s32
+        # accumulation; models/fm.py).
         from ..models.fm import fm_demod_chain_planar
 
         demod = fm_demod_chain_planar(
             i_pl, q_pl, sr, cutoff, cutoff / 2, deci=1,
-            gain=sr / (2 * np.pi * dev), precision="w3",
+            gain=sr / (2 * np.pi * dev), precision=prec,
         )
         return ops.rational_resampler(demod, int(ar), int(sr))
 
     if u8_planes is not None:
         audio = chain_u8(u8_planes[0], u8_planes[1], fs, float(opt.audio_rate),
-                         float(opt.cutoff), float(opt.deviation))
+                         float(opt.cutoff), float(opt.deviation),
+                         opt.precision)
     else:
         audio = chain(stage_iq(iq), fs, float(opt.audio_rate),
                       float(opt.cutoff), float(opt.deviation))

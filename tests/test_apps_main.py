@@ -211,6 +211,12 @@ def test_rtl_fm_u8_fused_path(tmp_path):
             "--cutoff", "25k", "--deviation", "10k"]
     assert rtl_fm.main(["-r", u8_path, "--rtl_u8", "--out", out_u8] + args) == 0
     assert rtl_fm.main(["-r", c32_path, "--out", out_c32] + args) == 0
+    # the i8 fused path recovers the same audio (scale-invariant demod;
+    # exact s32 accumulation on TPU, same fallback off-TPU)
+    out_i8 = str(tmp_path / "a_i8.au")
+    assert rtl_fm.main(["-r", u8_path, "--rtl_u8", "--precision", "i8",
+                        "--out", out_i8] + args) == 0
+    a_i8, _ = au_io.au_decode(open(out_i8, "rb").read(), 32_000)
     a_u8, _ = au_io.au_decode(open(out_u8, "rb").read(), 32_000)
     a_c32, _ = au_io.au_decode(open(out_c32, "rb").read(), 32_000)
     m = min(len(a_u8), len(a_c32))
@@ -218,3 +224,6 @@ def test_rtl_fm_u8_fused_path(tmp_path):
     # same recovered audio up to 8-bit quantization noise + path skew
     corr = np.corrcoef(a_u8[200:m - 200], a_c32[200:m - 200])[0, 1]
     assert corr > 0.99, corr
+    mi = min(len(a_i8), len(a_u8))
+    corr_i8 = np.corrcoef(a_i8[200:mi - 200], a_u8[200:mi - 200])[0, 1]
+    assert corr_i8 > 0.999, corr_i8
