@@ -84,10 +84,12 @@ def fm_demod_chain_planar(
     tunnel transfers) and runs the WHOLE chain — banded MXU FIR low-pass
     + decimate + quadrature demod — as ONE fused Pallas kernel
     (ops.pallas_fm_chain): two planes read from HBM once, audio written
-    once, nothing else touches HBM.  For 8-bit-sourced data (rtl-sdr u8
-    planes, exactly representable in bf16) pass ``precision="w3"`` for
-    the ~2.3x-faster bf16-exact path, with any DC convention (e.g.
-    (x-127.4)/128) riding ``dc_offset`` — it folds in post-dot, exactly.
+    once, nothing else touches HBM.  For 8-bit-sourced data on the
+    (u8-127)/128 wire grid pass ``precision="w3"`` (bf16-exact planes,
+    ~2.3x the f32 path) or ``"i8"`` (int8-MXU planes, exact s32
+    accumulation, 2x pass rate + 1/4 the plane HBM), with any DC
+    convention (e.g. (x-127.4)/128) riding ``dc_offset`` — it folds in
+    post-dot, exactly.
     Falls back to the composed complex chain off-TPU or for long/complex
     tap sets.
     """
