@@ -393,8 +393,49 @@ def bench_scan_stream_device():
          scan_msps=round(n / t_scan / 1e6, 1))
 
 
+def bench_native():
+    """Host-native sequential tail (native/rr_native.cpp): symbol sync
+    and HDLC deframe rates.  Pure host timing — no device, no tunnel —
+    so these rows are reproducible anywhere the .so builds."""
+    from rustradio_tpu import native, ops
+
+    if not native.available():
+        emit(bench="native", error="librr_native unavailable")
+        return
+
+    rng = np.random.RandomState(0)
+    sps = 36.75
+    n = 1 << 22
+    bits = rng.randint(0, 2, int(n / sps) + 2) * 2.0 - 1.0
+    x = np.repeat(bits, int(round(sps)))[:n].astype(np.float32)
+    x += rng.randn(n).astype(np.float32) * 0.1
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        native.symbol_sync_f32(x, sps, 0.5, np.asarray([0.5, 0.5]))
+        ts.append(time.perf_counter() - t0)
+    emit(bench="native_symbol_sync", msps=round(n / sorted(ts)[2] / 1e6, 1),
+         n=n)
+
+    # HDLC: a realistic packet stream (framed, FCS'd, stuffed)
+    frames = []
+    for _ in range(64):
+        payload = rng.randint(0, 256, 256).astype(np.uint8)
+        frames.append(np.asarray(ops.hdlc_frame(ops.fcs_add(payload))))
+    stream = np.concatenate(frames * 8).astype(np.uint8)
+    ts = []
+    for _ in range(5):
+        sm = native.HdlcDeframer(1, 1500, False, False)
+        t0 = time.perf_counter()
+        sm.feed(stream)
+        ts.append(time.perf_counter() - t0)
+    emit(bench="native_hdlc_deframe",
+         mbps=round(len(stream) / sorted(ts)[2] / 1e6, 1), bits=len(stream))
+
+
 BENCHES = {
     "fm_chain": bench_fm_chain,
+    "native": bench_native,
     "bell202": bench_bell202_frontend,
     "fir": bench_fir,
     "fft_filter": bench_fft_filter,
