@@ -175,15 +175,18 @@ def symbol_sync_events(x, sps: float, max_deviation: float = 0.5,
     Returns ``((values, mask, clocks), valid)`` where ``valid`` is False
     if the input had more than ``max_events`` crossings (results are
     then untrustworthy; re-run with a bigger budget or fall back).
-    ``max_events`` defaults to ``len(x)//4``.  No streaming state —
-    whole-burst use (the decode-bank case).
+    ``max_events`` defaults to ~4x the expected crossing count for NRZ
+    at ``sps`` (pow-2 bucketed so nearby lengths share compiles, capped
+    at N//4); pass it explicitly for chattery input.  No streaming
+    state — whole-burst use (the decode-bank case).
     """
     if not sps > 1.0:
         raise ValueError("sps must be > 1")
     x = jnp.asarray(x, F)
     n = int(x.shape[0])
     if max_events is None:
-        max_events = max(8, n // 4)
+        want = max(64, int(4 * n / sps))
+        max_events = min(1 << (want - 1).bit_length(), max(8, n // 4))
     taps = np.asarray(clock_taps, np.float32)
     order = len(taps) - 1
     sps32 = F(np.float32(sps))
