@@ -146,6 +146,27 @@ def symbol_sync(
     return (vals, mask, clks), final
 
 
+def _ted_reduce(t0_raw, clock, mx):
+    """Reduce the time-since-boundary toward the clock period: the
+    reference's ``while t > mx { t2 = t - clock; if |t-clock| < |t2-clock|
+    break; t = t2 }`` (src/symbol_sync.rs:152-163), with a closed-form
+    pre-reduction so the residual loop is bounded.
+
+    The pre-reduction's f32 floor can be off by ~1-2 ULP-of-the-ratio for
+    gaps up to 2^24, leaving the residual in (mx, mx + ~4*clock]; six
+    predicated subtract steps therefore cover every real event exactly
+    (identical f32 sequence to the while-loop — asserted against a
+    while_loop reference in tests), without a vmapped while_loop inside
+    the event scan."""
+    k0 = jnp.maximum(F(0.0), jnp.floor((t0_raw - mx) / clock) - F(1.0))
+    t = t0_raw - k0 * clock
+    for _ in range(6):
+        t2 = t - clock
+        keep = jnp.abs(t - clock) >= jnp.abs(t2 - clock)
+        t = jnp.where((t > mx) & keep, t2, t)
+    return t
+
+
 def symbol_sync_events(x, sps: float, max_deviation: float = 0.5,
                        clock_taps=(0.5, 0.5), max_events: int | None = None,
                        unroll: int = 8):
@@ -218,23 +239,14 @@ def symbol_sync_events(x, sps: float, max_deviation: float = 0.5,
         e = jnp.clip(e_unc, 0, gap_i)
         mid_off_p = s["mid_off"] + e.astype(F) * s["clock"] - gap  # rel p
 
-        # TED: t = time since last boundary, reduced toward clock.  For
-        # t0 <= mx + clock this is the reference's exact sequential f32
-        # while-loop; longer gaps (and the padding slots) pre-reduce in
-        # closed form so the loop is bounded to ~3 trips.  The reduced t
-        # CAN land in_range for long gaps (whole symbol runs during
-        # acquisition), so the raw offset is kept for the next_sym_middle
-        # computation below — only the TED residue uses the reduction.
+        # TED: t = time since last boundary, reduced toward clock (the
+        # reference's sequential f32 while-loop in bounded predicated
+        # form — see _ted_reduce).  The reduced t CAN land in_range for
+        # long gaps (whole symbol runs during acquisition), so the raw
+        # offset is kept for the next_sym_middle computation below —
+        # only the TED residue uses the reduction.
         t0_raw = gap + s["bnd_off"]
-        k0 = jnp.maximum(F(0.0), jnp.floor((t0_raw - mx) / s["clock"]) - F(1.0))
-        t0 = t0_raw - k0 * s["clock"]
-
-        def wcond(t):
-            t2 = t - s["clock"]
-            keep = jnp.abs(t - s["clock"]) >= jnp.abs(t2 - s["clock"])
-            return (t > mx) & keep
-
-        t = jax.lax.while_loop(wcond, lambda t: t - s["clock"], t0)
+        t = _ted_reduce(t0_raw, s["clock"], mx)
         in_range = (t > mi * F(0.8)) & (t < mx * F(1.2))
         do_adjust = (p > 0) & s["have_boundary"]
         apply = do_adjust & in_range & ~is_pad

@@ -69,6 +69,40 @@ def test_symbol_sync_events_decode_equivalent():
             )
 
 
+def test_ted_reduce_matches_while_loop():
+    # the bounded predicated reduction must be f32-bit-identical to the
+    # reference-shaped while_loop across realistic (gap, clock) space
+    import jax
+    import jax.numpy as jnp
+    from rustradio_tpu.ops.symbol_sync import _ted_reduce
+
+    def while_form(t0_raw, clock, mx):
+        k0 = jnp.maximum(0.0, jnp.floor((t0_raw - mx) / clock) - 1.0)
+        t0 = (t0_raw - k0 * clock).astype(jnp.float32)
+
+        def wcond(t):
+            t2 = t - clock
+            keep = jnp.abs(t - clock) >= jnp.abs(t2 - clock)
+            return (t > mx) & keep
+
+        return jax.lax.while_loop(wcond, lambda t: t - clock, t0)
+
+    rng = np.random.RandomState(33)
+    gaps = np.concatenate([
+        rng.uniform(0, 200, 400),
+        rng.uniform(0, 2 ** 22, 400),
+        np.arange(1, 100, dtype=np.float64) * 36.75,  # exact multiples
+    ]).astype(np.float32)
+    for clock, dev in [(8.0, 0.5), (36.75, 0.5), (5.5, 1.0), (100.0, 0.1)]:
+        mx = np.float32(clock + dev)
+        got = jax.vmap(lambda g: _ted_reduce(g, jnp.float32(clock), mx))(
+            jnp.asarray(gaps))
+        want = jax.vmap(lambda g: while_form(g, jnp.float32(clock), mx))(
+            jnp.asarray(gaps))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"clock={clock}")
+
+
 def test_symbol_sync_events_long_runs():
     # Crossing gaps >= mx + 2*clock (legal NRZI runs during acquisition)
     # exercise the closed-form catch-up: next_sym_middle must be computed
