@@ -151,12 +151,17 @@ def ax25_1200_rx(
     demod: str = "discriminator",
     keep_checksum: bool = False,
     band: tuple | None = (400.0, 2700.0),
+    sync: str = "native",
 ) -> list[Ax25Packet]:
     """Decode AX.25 packets from Bell-202 AFSK audio (float32 stream).
 
     ``demod``: "discriminator" (the reference chain + an input band-pass,
     see bell202_demod) or "tones" (the dual-tone correlator).
     ``band=None`` restores the reference-faithful discriminator input.
+    ``sync``: "native" (the sequential host/scan recurrence, bit-exact
+    reference parity) or "events" (the event-driven device form —
+    decode-equivalent, ~sps-times shorter sequential chain; see
+    ops.symbol_sync.symbol_sync_events).
 
     Defaults (clock filter = 6-tap boxcar, 400-2700 Hz input band-pass)
     were swept against the 1000-frame decode-rate corpus in round 3:
@@ -169,9 +174,19 @@ def ax25_1200_rx(
         nrz = bell202_tone_demod(audio, float(samp_rate))
     else:
         nrz = bell202_demod(audio, float(samp_rate), band)
-    symbols = ops.recover_symbols(
-        np.asarray(nrz), float(samp_rate) / 1200.0, symbol_max_deviation, symbol_taps
-    )
+    if sync == "events":
+        (vals, mask, _), _valid = ops.symbol_sync_events(
+            np.asarray(nrz), float(samp_rate) / 1200.0,
+            symbol_max_deviation, tuple(symbol_taps)
+        )
+        symbols = np.asarray(vals)[np.asarray(mask)]
+    elif sync == "native":
+        symbols = ops.recover_symbols(
+            np.asarray(nrz), float(samp_rate) / 1200.0, symbol_max_deviation,
+            symbol_taps
+        )
+    else:
+        raise ValueError(f"unknown sync {sync!r}; use 'native' or 'events'")
     bits = np.asarray(ops.nrzi_decode(ops.binary_slicer(jnp.asarray(symbols))))
     packets, stats = ops.hdlc_deframe(
         bits, 10, 1500, keep_checksum=keep_checksum, fix_bits=fix_bits

@@ -32,7 +32,8 @@ from .nrzi import nrzi_decode, nrzi_encode
 from .scramble import descramble, scramble
 from .delay import delay, head, skip
 from .vco import vco
-from .symbol_sync import recover_symbols, symbol_sync, zero_crossing_sync
+from .symbol_sync import (recover_symbols, symbol_sync,
+                          symbol_sync_events, zero_crossing_sync)
 from .hdlc import calc_crc, fcs_add, hdlc_deframe, hdlc_frame
 from .wpcr import midpoint, midpoint_batch, wpcr, wpcr_batch
 from .burst import burst_tagger, pdu_average, stream_to_pdu

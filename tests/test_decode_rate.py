@@ -83,6 +83,16 @@ def test_decode_rate_tones(corpus_1000):
     assert n_tones >= 900, f"dual-tone decode rate regressed: {n_tones}/1000"
 
 
+def test_decode_rate_events_sync(corpus_1000):
+    # the event-driven clock recovery must hold the discriminator
+    # chain's decode rate at corpus scale (measured 1000/1000 in r3 —
+    # identical to the native/scan recurrence; the floor leaves slack
+    # for numeric drift only)
+    audio, payloads = corpus_1000
+    n = _count(audio, payloads, sync="events")
+    assert n >= 980, f"events-sync decode rate regressed: {n}/1000"
+
+
 def test_fix_bits_repairs_single_bit_errors():
     # inverting the NRZI line from bit k onward creates EXACTLY one
     # decoded-bit error at k — the case hdlc fix_bits repairs
