@@ -41,6 +41,11 @@ def main(argv=None) -> int:
         "--keep_checksum", action="store_true",
         help="emit frames without CRC verification (structural recovery)",
     )
+    p.add_argument(
+        "--sync", choices=["native", "events"], default="native",
+        help="clock recovery: bit-exact sequential recurrence or the "
+        "event-driven form (~sps-times shorter sequential chain)",
+    )
     p.add_argument("-v", "--verbose", action="count", default=0)
     opt = p.parse_args(argv)
 
@@ -52,6 +57,7 @@ def main(argv=None) -> int:
             audio, float(rate), fix_bits=opt.fix_bits,
             symbol_taps=taps, symbol_max_deviation=opt.symbol_max_deviation,
             demod=opt.demod, keep_checksum=opt.keep_checksum,
+            sync=opt.sync,
         )
     else:
         if opt.read.endswith((".sigmf", ".sigmf-meta", ".sigmf-data")):
@@ -69,7 +75,8 @@ def main(argv=None) -> int:
         pkts = ax25_1200_rx_iq(iq, float(rate), fix_bits=opt.fix_bits,
                                symbol_taps=taps,
                                symbol_max_deviation=opt.symbol_max_deviation,
-                               demod=opt.demod, keep_checksum=opt.keep_checksum)
+                               demod=opt.demod, keep_checksum=opt.keep_checksum,
+                               sync=opt.sync)
     dt = time.time() - t0
 
     if opt.out:
