@@ -253,18 +253,30 @@ def ax25_9600_rx(
     symbol_taps=(0.0001, 0.99999999),
     symbol_max_deviation: float = 0.1,
     fix_bits: bool = False,
+    sync: str = "native",
 ) -> list[Ax25Packet]:
     """AX.25 9600 bd G3RUH receiver, traditional symbol-sync path
     (reference examples/ax25-9600-rx.rs:136-207): 12.5 kHz channel filter ->
     resample to 50 kHz -> FM demod -> SymbolSync(zero-crossing TED, clamped
-    IIR clock filter) -> slicer -> NRZI -> G3RUH descramble -> HDLC."""
+    IIR clock filter) -> slicer -> NRZI -> G3RUH descramble -> HDLC.
+    ``sync`` as in :func:`ax25_1200_rx`."""
 
     nrz = _channel_fm(
         stage_iq(iq), float(samp_rate), float(new_rate), 12_500.0, 100.0
     )
-    syms = ops.recover_symbols(
-        np.asarray(nrz), float(new_rate) / baud, symbol_max_deviation, symbol_taps
-    )
+    if sync == "events":
+        (vals, mask, _), _valid = ops.symbol_sync_events(
+            np.asarray(nrz), float(new_rate) / baud, symbol_max_deviation,
+            tuple(symbol_taps)
+        )
+        syms = np.asarray(vals)[np.asarray(mask)]
+    elif sync == "native":
+        syms = ops.recover_symbols(
+            np.asarray(nrz), float(new_rate) / baud, symbol_max_deviation,
+            symbol_taps
+        )
+    else:
+        raise ValueError(f"unknown sync {sync!r}; use 'native' or 'events'")
     bits = ops.binary_slicer(jnp.asarray(syms))
     bits = ops.nrzi_decode(bits)
     bits = np.asarray(ops.descramble(bits))

@@ -30,6 +30,9 @@ def test_g3ruh_loopback():
     iq = np.concatenate([lead, iq, lead])
     pkts = ax25_9600_rx(iq, fs)
     assert any(bytes(p) == payload for p in pkts), [bytes(p) for p in pkts]
+    # the event-driven sync decodes the same loopback frame
+    pkts_e = ax25_9600_rx(iq, fs, sync="events")
+    assert any(bytes(p) == payload for p in pkts_e), [bytes(p) for p in pkts_e]
 
 
 def test_g3ruh_loopback_ax25_frame():
