@@ -210,6 +210,13 @@ def main() -> None:
     }
     if chan_msps is not None:
         row["channelizer_256ch_msps"] = chan_msps
+    if dev.platform == "cpu" and "cpu" not in os.environ.get(
+            "JAX_PLATFORMS", ""):
+        # un-requested CPU run = the accelerator transport was down and
+        # the subprocess probe fell back; don't let the row read as a
+        # TPU regression (last recorded TPU rows: BENCHES_r03.jsonl)
+        row["note"] = ("accelerator transport unreachable at bench time; "
+                       "CPU fallback row — TPU rows in BENCHES_r03.jsonl")
     print(json.dumps(row))
 
 
