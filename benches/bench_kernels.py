@@ -318,7 +318,12 @@ def bench_scan_stream_device():
     from rustradio_tpu.graph import Graph
 
     chunk = 1 << 20 if on_tpu() else 1 << 14
-    n_chunks = 64 if on_tpu() else 8
+    # RR_BENCH_CHUNKS scales the stream length: the scan runner's whole
+    # stream costs ONE dispatch+readback (~90 ms fixed on this tunnel),
+    # so longer streams expose the chain-bound rate the runner actually
+    # sustains on a standard host.
+    n_chunks = (int(os.environ.get("RR_BENCH_CHUNKS", "64"))
+                if on_tpu() else 8)
     taps = np.real(np.asarray(
         tg.low_pass_complex(1_024_000.0, 100_000.0, 50_000.0, "hamming"))
     ).astype(np.float32)
