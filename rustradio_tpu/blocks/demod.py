@@ -15,6 +15,11 @@ class QuadratureDemod(Block):
     first chunk every chunk yields len(x) outputs.
     """
 
+    # mesh execution: 1-sample halo; the stream-start output the halo
+    # form emits but streaming never does (arg(conj(0)*x0)) is dropped
+    shard_halo = 1
+    shard_extra_drop = 1
+
     def __init__(self, gain: float = 1.0):
         self.gain = gain
 
@@ -32,6 +37,8 @@ class QuadratureDemod(Block):
 
 class FastFM(Block):
     """Lyons fast FM (reference src/quadrature_demod.rs:144-165)."""
+
+    shard_halo = 2  # zero-history 2-sample lookback
 
     def apply(self, x):
         return ops.fast_fm(x)

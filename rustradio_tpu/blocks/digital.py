@@ -11,6 +11,11 @@ from .base import Block
 
 
 class NrziDecode(Block):
+    shard_halo = 1  # carried previous bit (0 at stream start)
+
+    def state_from_tail(self, tail):
+        return jnp.asarray(tail, jnp.uint8)[0]
+
     def apply(self, x):
         return ops.nrzi_decode(x)
 
@@ -42,6 +47,13 @@ class Descrambler(Block):
         self.mask, self.length = mask, length
         # seed affects only the first length+1 outputs; reference notes seed
         # is irrelevant in practice (src/descrambler.rs:3-5); we honor 0.
+
+    @property
+    def shard_halo(self):
+        return self.length + 1  # feed-forward: state == input tail
+
+    def state_from_tail(self, tail):
+        return jnp.asarray(tail, jnp.uint8)
 
     @classmethod
     def g3ruh(cls):
@@ -101,6 +113,13 @@ class CorrelateAccessCode(Block):
         from ..ops.pallas_kernels import _on_tpu
 
         return "conv" if _on_tpu() else None
+
+    @property
+    def shard_halo(self):
+        return len(self.code) - 1
+
+    def state_from_tail(self, tail):
+        return jnp.asarray(tail, jnp.uint8)
 
     def apply(self, x):
         return ops.correlate_access_code(x, self.code, self.allowed_diffs)

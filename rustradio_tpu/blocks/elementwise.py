@@ -10,6 +10,8 @@ from .base import Block
 
 
 class AddConst(Block):
+    shard_halo = 0  # elementwise: time-shardable with no halo
+
     def __init__(self, val):
         self.val = val
 
@@ -18,6 +20,8 @@ class AddConst(Block):
 
 
 class MultiplyConst(Block):
+    shard_halo = 0
+
     def __init__(self, val):
         self.val = val
 
@@ -26,6 +30,8 @@ class MultiplyConst(Block):
 
 
 class XorConst(Block):
+    shard_halo = 0
+
     def __init__(self, val):
         self.val = val
 
@@ -48,11 +54,17 @@ class Xor(Block):
 
 
 class Map(Block):
-    """1:1 lambda block (reference src/convert.rs:121-172)."""
+    """1:1 lambda block (reference src/convert.rs:121-172).
 
-    def __init__(self, fn, name: str = "Map"):
+    ``elementwise=True`` declares the lambda pointwise (no cross-sample
+    deps), letting mesh runs shard it with no halo.
+    """
+
+    def __init__(self, fn, name: str = "Map", elementwise: bool = False):
         self.fn = fn
         self._name = name
+        if elementwise:
+            self.shard_halo = 0
 
     def name(self):
         return self._name
@@ -83,6 +95,7 @@ class Tee(Block):
     """1 -> 2 copy with tags on both (reference src/tee.rs)."""
 
     n_out = 2
+    shard_halo = 0
 
     def apply(self, x):
         return x, x
@@ -103,22 +116,29 @@ class ComplexToFloat(Block):
     """complex -> (re, im) streams (reference src/convert.rs:290)."""
 
     n_out = 2
+    shard_halo = 0
 
     def apply(self, x):
         return ops.complex_to_float(x)
 
 
 class ComplexToReal(Block):
+    shard_halo = 0
+
     def apply(self, x):
         return ops.complex_to_real(x)
 
 
 class ComplexToMag2(Block):
+    shard_halo = 0
+
     def apply(self, x):
         return ops.complex_to_mag2(x)
 
 
 class BinarySlicer(Block):
+    shard_halo = 0
+
     def apply(self, x):
         return ops.binary_slicer(x)
 

@@ -43,6 +43,69 @@ class FirFilter(Block):
     def compile_group(self):
         return _kernel_group(len(self.taps))
 
+    def shard_fn(self, di):
+        """Mesh plan: valid-conv windows realigned to the global stream.
+
+        With ``di`` zero samples prepended at stream start, the streaming
+        output grid (windows starting at multiples of ``deci`` in true
+        stream coordinates) sits at mesh positions ``≡ di (mod deci)``;
+        ``q0`` places the halo-extended window on that grid and the
+        first ``(di + ntaps - 1) // deci`` outputs (windows touching the
+        zero prefix) are masked by the runner."""
+        from .base import ShardFn
+        from ..ops.fir import fir_filter
+
+        ntaps, d = len(self.taps), self.deci
+        h = ntaps - 1
+        q0 = (di + h) % d
+        taps = self.taps
+
+        if self.translate is not None:
+            sr, fq = self.translate
+            step = 2.0 * np.pi * float(fq) / float(sr)
+
+            def prep(in0: int) -> float:
+                # fir_filter_translating on the local array phases its
+                # rotator for window END at local index ntaps-1 + deci*p;
+                # the true stream window end is in0 + k*L + q0 + deci*p
+                # - di + ntaps - 1, so the correction phase is
+                # -step*(in0 + k*L + q0 - di - (ntaps-1)).  This is the
+                # chunk part, reduced mod 2π in float64.
+                return float(np.mod(-step * (in0 + q0 - di - h), 2.0 * np.pi))
+
+            def fn(ext, n_local, ctx):
+                import math
+
+                from ..ops.fir import fir_filter_translating
+
+                y = fir_filter_translating(ext[q0:], taps, sr, fq, d)
+                y = y[: n_local // d]
+                # per-shard part of the correction: k * (-step * L) mod 2π
+                phi_l = math.fmod(-step * float(n_local), 2.0 * math.pi)
+                phase = ctx.aux + ctx.k.astype(jnp.float32) * jnp.float32(phi_l)
+                return y * jnp.exp(1j * phase).astype(y.dtype)
+        else:
+            prep = None
+
+            def fn(ext, n_local, ctx):
+                return fir_filter(ext[q0:], taps, d)[: n_local // d]
+
+        return ShardFn(halo=h, d_out=(di + h) // d, div=d, fn=fn, prep=prep)
+
+    def shard_total_out(self, n):
+        return max(0, (n - len(self.taps)) // self.deci + 1)
+
+    def shard_state(self, tail, consumed):
+        """apply_chunk's state (unconsumed raw buffer + output offset)
+        after ``consumed`` samples: emitted windows cover w*deci inputs."""
+        w = self.shard_total_out(consumed)
+        buf_len = consumed - w * self.deci
+        h = len(self.taps) - 1
+        buf = jnp.asarray(tail)[h - buf_len :] if buf_len else jnp.zeros(
+            0, self.taps.dtype
+        )
+        return {"buf": buf, "out_off": w}
+
     def apply(self, x):
         if self.translate is not None:
             sr, fq = self.translate
@@ -66,9 +129,11 @@ class FirFilter(Block):
         if self.translate is not None:
             sr, fq = self.translate
             y = ops.fir_filter_translating(buf, self.taps, sr, fq, self.deci)
-            # fix rotator phase for the global output offset
+            # fix rotator phase for the global output offset (mod 2π in
+            # float64 on the host — the raw product overflows f32)
             step = -2.0 * np.pi * fq / sr * self.deci
-            y = y * jnp.exp(1j * jnp.float32(step * out_off)).astype(y.dtype)
+            ph = np.mod(step * out_off, 2.0 * np.pi)
+            y = y * jnp.exp(1j * jnp.float32(ph)).astype(y.dtype)
         else:
             y = ops.fir_filter(buf, self.taps, self.deci)
         return {"buf": buf[consumed:], "out_off": out_off + int(n_out)}, y
@@ -87,6 +152,10 @@ class FftFilter(Block):
     @property
     def compile_group(self):
         return _kernel_group(len(self.taps)) if self._real_taps else None
+
+    @property
+    def shard_halo(self):
+        return len(self.taps) - 1  # zero-history full conv: state == tail
 
     def apply(self, x):
         return ops.filter_complex(x, self.taps, self.fft_size)
@@ -111,6 +180,10 @@ class FftFilterFloat(Block):
     @property
     def compile_group(self):
         return _kernel_group(len(self.taps))
+
+    @property
+    def shard_halo(self):
+        return len(self.taps) - 1  # zero-history full conv: state == tail
 
     def apply(self, x):
         return ops.filter_float(x, self.taps, self.fft_size)
@@ -138,6 +211,10 @@ class Hilbert(Block):
     def compile_group(self):
         return _kernel_group(self.ntaps)
 
+    @property
+    def shard_halo(self):
+        return self.ntaps  # reference keeps ntaps history (src/hilbert.rs)
+
     def apply(self, x):
         return ops.hilbert_transform(x, self.ntaps, taps=self.taps)
 
@@ -146,12 +223,28 @@ class Hilbert(Block):
 
     def apply_chunk(self, state, x):
         x = jnp.asarray(x, jnp.float32)
-        ext = jnp.concatenate([state, x])
+        ext = jnp.concatenate([jnp.asarray(state, jnp.float32), x])
         n = x.shape[0]
-        from ..ops.fir import _conv1d
         import jax
 
-        y_im = _conv1d(ext, self.taps, stride=1, pad_left=0)[:n]
+        # Same kernel dispatch as ops.hilbert_transform so streaming is
+        # BITWISE offline: banded MXU kernel on TPU (a HIGHEST conv here
+        # would co-compile with Pallas blocks in fused segments — the
+        # pathological XLA compile), direct conv elsewhere.  The demod
+        # downstream amplifies even 1e-7 kernel differences at
+        # near-zero-magnitude samples, so the dispatch must match.
+        from ..ops.pallas_kernels import _on_tpu
+
+        if _on_tpu():
+            from ..ops.pallas_kernels import pallas_fir_decimate
+
+            y_im = pallas_fir_decimate(ext, np.asarray(self.taps), 1)[
+                self.ntaps - 1 :
+            ][:n]
+        else:
+            from ..ops.fir import _conv1d
+
+            y_im = _conv1d(ext, self.taps, stride=1, pad_left=0)[:n]
         d = self.ntaps - self.ntaps // 2
         y_re = ext[self.ntaps - d : self.ntaps - d + n]
         return ext[-self.ntaps :], jax.lax.complex(y_re, y_im)

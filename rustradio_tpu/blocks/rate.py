@@ -97,6 +97,8 @@ class Delay(Block):
             raise ValueError("delay must be >= 0")
         self.delay = n
         self.dynamic = dynamic
+        if not dynamic:
+            self.shard_halo = n  # static delay: output = halo-shifted input
         self._pending: list[int] = []
         self._zeros_this = 0
         self._skip_this = 0

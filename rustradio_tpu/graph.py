@@ -242,6 +242,76 @@ class Graph:
             and not hasattr(n.block, "set_tags")
         )
 
+    def _mesh_eligible(self, n: Node) -> bool:
+        """Can this block join a sharded (mesh) segment?  Requires a
+        shard plan (Block.shard_fn) and no end-of-stream flush hook (the
+        sharded form cannot reproduce a drain exactly through padding)."""
+        b = n.block
+        return (
+            self._fusable(n)
+            and b.n_in == 1
+            and not hasattr(b, "flush")
+            and not hasattr(b, "flush_with_state")
+            and b.shard_fn(0) is not None
+        )
+
+    def _segments_mesh(self, mesh, shard_axis: str):
+        """Mesh-mode segmentation: like _segments, but runs additionally
+        split at shardability boundaries; maximal runs of mesh-eligible
+        nodes (len >= 1) become sharded segments with a MeshSegment plan,
+        remaining fusable runs (len >= 2) stay ordinary fused segments.
+
+        Returns (segs, seg_member, plans) where plans maps a sharded
+        segment's first idx to its MeshSegment."""
+        key = (id(mesh), shard_axis)
+        cache = getattr(self, "_mesh_segcache", None)
+        if cache is None:
+            cache = self._mesh_segcache = {}
+        if key in cache:
+            return cache[key]
+        from .parallel.graph_mesh import MeshSegment, NotShardable
+
+        segs: dict[int, list[Node]] = {}
+        plans: dict[int, Any] = {}
+
+        def close(cur, cur_mesh):
+            if cur_mesh:
+                try:
+                    ext_in, ext_out = self._segment_io(cur)
+                    plan = MeshSegment(cur, ext_in, ext_out, mesh, shard_axis)
+                except NotShardable:
+                    plan = None
+                if plan is not None:
+                    segs[cur[0].idx] = list(cur)
+                    plans[cur[0].idx] = plan
+                    return
+            if len(cur) > 1:
+                segs[cur[0].idx] = list(cur)
+
+        cur: list[Node] = []
+        cur_group: str | None = None
+        cur_mesh = False
+        for n in self._topo():
+            if self._fusable(n):
+                g = getattr(n.block, "compile_group", None)
+                m = self._mesh_eligible(n)
+                if cur and (m != cur_mesh or (g and cur_group and g != cur_group)):
+                    close(cur, cur_mesh)
+                    cur, cur_group = [], None
+                cur.append(n)
+                cur_mesh = m
+                if g:
+                    cur_group = g
+            else:
+                if cur:
+                    close(cur, cur_mesh)
+                cur, cur_group = [], None
+        if cur:
+            close(cur, cur_mesh)
+        seg_member = {m.idx: seg[0].idx for seg in segs.values() for m in seg}
+        cache[key] = (segs, seg_member, plans)
+        return cache[key]
+
     def _segments(self) -> dict[int, list[Node]]:
         """Maximal contiguous runs of fusable device nodes, keyed by the
         first member's idx.  Each run compiles into ONE jit program —
@@ -298,7 +368,7 @@ class Graph:
     def _segment_raw(self, seg: list[Node], streaming: bool):
         """Unjitted composite over the whole segment (cached): the single
         traceable function the jit/scan wrappers build on."""
-        key = (seg[0].idx, "raw_chunk" if streaming else "raw_apply")
+        key = (tuple(n.idx for n in seg), "raw_chunk" if streaming else "raw_apply")
         cached = self._jit_cache.get(key)
         if cached is not None:
             return cached
@@ -333,7 +403,7 @@ class Graph:
 
     def _segment_fn(self, seg: list[Node], streaming: bool):
         """Jitted composite over the whole segment (cached)."""
-        key = (seg[0].idx, "chunk" if streaming else "apply")
+        key = (tuple(n.idx for n in seg), "chunk" if streaming else "apply")
         cached = self._jit_cache.get(key)
         if cached is not None:
             return cached
@@ -350,7 +420,7 @@ class Graph:
         the SURVEY §7 scan-over-blocks streaming form.  One dispatch per
         batch instead of per chunk (reference analog: the single hot
         ``Graph::run`` loop, src/graph.rs:99-173)."""
-        key = (seg[0].idx, "scan")
+        key = (tuple(n.idx for n in seg), "scan")
         cached = self._jit_cache.get(key)
         if cached is not None:
             return cached
@@ -406,7 +476,7 @@ class Graph:
                 (tuple(np.shape(leaf)), str(getattr(leaf, "dtype", type(leaf))))
                 for leaf in jax.tree.leaves(states)
             )
-        key = (seg[0].idx, "lens", sig, states is not None)
+        key = (tuple(n.idx for n in seg), "lens", sig, states is not None)
         cached = self._jit_cache.get(key)
         if cached is not None:
             return cached
@@ -465,6 +535,47 @@ class Graph:
             for i, ot in enumerate(n.block.process_tags(in_tags, lens[n.idx])):
                 tags[(n.idx, i)] = ot
         return new_states
+
+    def _run_segment_mesh(self, ms, seg, values, tags, mesh_state=None,
+                          true_len=None):
+        """Execute a sharded segment (one shard_map program over the mesh).
+
+        ``mesh_state`` — {"tails": carries, "consumed": int} carried
+        across chunks in streaming mode; None for offline (zero history,
+        whole stream as one chunk).  ``true_len`` — unpadded input length
+        when this call ends the stream (enables end trims); None for
+        mid-stream chunks.  Returns the updated mesh_state.
+        """
+        x = _stage_for("device", values[ms.ext_in])
+        n = int(x.shape[0])
+        if mesh_state is None:
+            mesh_state = {"tails": ms.init_carries(x), "consumed": 0}
+        elif mesh_state.get("tails") is None:
+            mesh_state = {"tails": ms.init_carries(x), "consumed": 0}
+        consumed = int(mesh_state["consumed"])
+        seg_name = "+".join(nd.block.name() for nd in seg[:3]) + (
+            f"+{len(seg)-3}" if len(seg) > 3 else ""
+        )
+        t0 = time.perf_counter()
+        with self._annotate(f"mesh:{seg_name}"):
+            new_tails, outs, lens = ms.run_chunk(
+                mesh_state["tails"], x, consumed, true_len=true_len
+            )
+        elapsed = time.perf_counter() - t0
+        self._cost_time[seg[0].idx] = (
+            self._cost_time.get(seg[0].idx, 0.0) + elapsed
+        )
+        for nd in seg:
+            self._stats[nd.idx] = self._stats.get(nd.idx, 0.0) + elapsed / len(seg)
+        for k, o in zip(ms.ext_out, outs):
+            values[k] = o
+        mlens = ms.member_lens(consumed, true_len if true_len is not None else n)
+        for nd in seg:
+            in_tags = [tags.get((p.node.idx, p.index), []) for p in nd.inputs]
+            for i, ot in enumerate(nd.block.process_tags(in_tags, mlens[nd.idx])):
+                tags[(nd.idx, i)] = ot
+        return {"tails": new_tails,
+                "consumed": consumed + (true_len if true_len is not None else n)}
 
     @staticmethod
     def _cat_outputs(a, b):
@@ -550,27 +661,47 @@ class Graph:
             seen.add(n.idx)
         return self.nodes
 
-    def run(self, profile_dir: str | None = None) -> None:
+    def run(self, profile_dir: str | None = None, mesh=None,
+            shard_axis: str = "time") -> None:
         """Offline mode: evaluate every block once over whole streams.
 
         ``profile_dir``: write a jax.profiler (xprof) trace there, with one
         named ``rr::`` region per block/segment.
+
+        ``mesh``: a 1-D ``jax.sharding.Mesh`` (see parallel.make_mesh) —
+        dense device segments whose blocks declare shard plans execute as
+        ONE shard_map program each, with the sample axis sharded over
+        ``shard_axis`` and filter histories exchanged between shards via
+        ppermute halos.  Outputs are exactly the single-device run's; the
+        reference analog is swapping Graph for MTGraph
+        (src/mtgraph.rs:73-149).
         """
         with self._profile_ctx(profile_dir):
-            self._run_inner()
+            self._run_inner(mesh, shard_axis)
         self._profiling = False
 
-    def _run_inner(self) -> None:
+    def _run_inner(self, mesh=None, shard_axis: str = "time") -> None:
         values: dict[tuple[int, int], Any] = {}
         tags: dict[tuple[int, int], list[Tag]] = {}
-        segs = self._segments()
+        if mesh is not None:
+            segs, seg_member, mesh_plans = self._segments_mesh(mesh, shard_axis)
+        else:
+            segs = self._segments()
+            seg_member, mesh_plans = self._seg_member, {}
         for node in self._topo():
             if self._token.is_cancelled():
                 break
-            seg_first = self._seg_member.get(node.idx)
+            seg_first = seg_member.get(node.idx)
             if seg_first is not None:
                 if seg_first == node.idx:
-                    self._run_segment(segs[seg_first], values, tags)
+                    ms = mesh_plans.get(seg_first)
+                    if ms is not None:
+                        n_in = len(values[ms.ext_in])
+                        self._run_segment_mesh(
+                            ms, segs[seg_first], values, tags, true_len=n_in
+                        )
+                    else:
+                        self._run_segment(segs[seg_first], values, tags)
                 continue
             b = node.block
             xs = [
@@ -628,6 +759,8 @@ class Graph:
         resume_from: str | None = None,
         profile_dir: str | None = None,
         scan_chunks: int | None = None,
+        mesh=None,
+        shard_axis: str = "time",
     ):
         """Streaming mode: fixed-size chunks with carried block state.
 
@@ -644,15 +777,23 @@ class Graph:
         the single hot ``Graph::run`` loop, src/graph.rs:99-173).  Host
         blocks still see chunks one at a time, in order, so semantics are
         identical; checkpoints land on batch boundaries.
+
+        ``mesh=`` shards every eligible device segment's sample axis over
+        a ``jax.sharding.Mesh`` (see :meth:`run`); chunks whose size
+        doesn't divide the mesh (e.g. a ragged final chunk) demote the
+        segment to single-device execution with its carried halos
+        converted to block state, so outputs stay exact.
         """
         import contextlib
 
+        if mesh is not None and scan_chunks:
+            raise ValueError("scan_chunks with mesh= is not supported yet")
         _pstack = contextlib.ExitStack()
         _pstack.enter_context(self._profile_ctx(profile_dir))
         try:
             self._run_stream_inner(
                 chunk_size, max_chunks, checkpoint_path, checkpoint_every,
-                resume_from, scan_chunks,
+                resume_from, scan_chunks, mesh, shard_axis,
             )
         finally:
             _pstack.close()
@@ -666,7 +807,10 @@ class Graph:
         checkpoint_every: int,
         resume_from: str | None,
         scan_chunks: int | None = None,
+        mesh=None,
+        shard_axis: str = "time",
     ):
+        self._mesh_mode = mesh is not None
         sources = [n for n in self.nodes if isinstance(n.block, SourceBlock)]
         if not sources:
             raise ValueError("graph has no sources")
@@ -691,6 +835,11 @@ class Graph:
                 states[n.idx] = jax.jit(b.init_state)()
             else:
                 states[n.idx] = b.init_state()
+        if mesh is not None:
+            segs, seg_member, mesh_plans = self._segments_mesh(mesh, shard_axis)
+        else:
+            segs = self._segments()
+            seg_member, mesh_plans = self._seg_member, {}
         offset = 0
         if resume_from is not None:
             from .utils.checkpoint import load_checkpoint
@@ -701,6 +850,11 @@ class Graph:
                 raise ValueError(
                     f"checkpoint was taken on a different graph: "
                     f"{extra['blocks']} vs {names}"
+                )
+            if bool(extra.get("mesh", False)) != (mesh is not None):
+                raise ValueError(
+                    "checkpoint mesh mode differs from this run's: a mesh "
+                    "checkpoint carries shard halos, not block state"
                 )
             # restore host-side block state (e.g. Delay's carried tag
             # queue) that can't live in the jitted state pytree
@@ -748,12 +902,33 @@ class Graph:
             n_chunk = min(chunk_size, total - offset)
             values: dict[tuple[int, int], Any] = {}
             tags: dict[tuple[int, int], list[Tag]] = {}
-            segs = self._segments()
             for node in self._topo():
                 b = node.block
-                seg_first = self._seg_member.get(node.idx)
+                seg_first = seg_member.get(node.idx)
                 if seg_first is not None:
                     if seg_first == node.idx:
+                        ms = mesh_plans.get(seg_first)
+                        mkey = f"mesh:{seg_first}"
+                        if ms is not None and not (
+                            isinstance(states.get(mkey), dict)
+                            and states[mkey].get("demoted")
+                        ):
+                            n_in = len(values[ms.ext_in])
+                            if n_in % (ms.n_sh * ms.div) == 0 and n_in >= ms.min_chunk:
+                                states[mkey] = self._run_segment_mesh(
+                                    ms, segs[seg_first], values, tags,
+                                    mesh_state=states.get(mkey),
+                                )
+                                continue
+                            # chunk doesn't fit the mesh (e.g. ragged final
+                            # chunk): one-way demotion — carried halos
+                            # become the members' streaming states, then
+                            # the plain per-chunk path continues exactly
+                            mst = states.get(mkey)
+                            if mst and mst.get("tails") is not None:
+                                states.update(ms.carries_to_states(
+                                    mst["tails"], int(mst["consumed"])))
+                            states[mkey] = {"demoted": True}
                         states.update(
                             self._run_segment(segs[seg_first], values, tags, states=states)
                         )
@@ -815,6 +990,14 @@ class Graph:
         # the carried pytrees for checkpoint/resume; flushing there would
         # emit it early AND again after the resume.
         if ended:
+            # sharded segments: carried halos -> member streaming states,
+            # so flush outputs propagate through them exactly
+            for sf, ms in mesh_plans.items():
+                mst = states.get(f"mesh:{sf}")
+                if mst and mst.get("tails") is not None:
+                    states.update(
+                        ms.carries_to_states(mst["tails"], int(mst["consumed"]))
+                    )
             self._flush_pass(states)
         for node in self.nodes:
             if hasattr(node.block, "finish"):
@@ -830,6 +1013,7 @@ class Graph:
             path, states, offset,
             extra={
                 "blocks": [n.block.name() for n in self.nodes],
+                "mesh": bool(getattr(self, "_mesh_mode", False)),
                 "host": {
                     n.idx: n.block.host_state()
                     for n in self.nodes

@@ -194,6 +194,66 @@ def ax25_1200_rx(
     return [Ax25Packet(np.asarray(d), int(p)) for d, p in packets]
 
 
+def ax25_1200_rx_graph(
+    audio,
+    samp_rate: float,
+    mesh=None,
+    chunk_size: int | None = None,
+    fix_bits: bool = False,
+    symbol_taps=(1 / 6,) * 6,
+    symbol_max_deviation: float = 0.5,
+    keep_checksum: bool = False,
+    band: tuple | None = (400.0, 2700.0),
+) -> list[bytes]:
+    """The same receiver as :func:`ax25_1200_rx`, built as a BLOCK
+    flowgraph and run through the Graph runners.
+
+    This mirrors the reference's actual structure — examples/
+    ax25-1200-rx.rs:209-253 connects the chain as blocks and swaps Graph
+    for MTGraph to go multi-core with one constructor flag.  Here that
+    flag is ``mesh=``: the dense front-end (band-pass, Hilbert,
+    discriminator, audio low-pass, centre offset) executes as ONE
+    shard_map program with the sample axis sharded over the mesh and
+    filter halos exchanged via ppermute, while the sequential tail
+    (clock recovery, NRZI, HDLC) runs on the host.  ``chunk_size``
+    selects streaming mode.  Returns the decoded payloads as bytes.
+    """
+    from .. import blocks
+    from ..graph import Graph
+
+    g = Graph()
+    sink = blocks.PduVectorSink()
+    chain = [blocks.VectorSource(np.asarray(audio, np.float32))]
+    if band is not None:
+        chain.append(
+            blocks.FftFilterFloat(
+                tapgen.band_pass(samp_rate, band[0], band[1], 65, "hamming")
+            )
+        )
+    lp = tapgen.low_pass(
+        samp_rate, 1100.0, 200.0 if band is not None else 100.0, "hamming"
+    )
+    chain += [
+        blocks.Hilbert(65),
+        blocks.QuadratureDemod(1.0),
+        blocks.FftFilterFloat(lp),
+        blocks.AddConst(-np.float32(2.0 * np.pi * 1700.0 / samp_rate)),
+        blocks.SymbolSync(
+            float(samp_rate) / 1200.0, symbol_max_deviation, tuple(symbol_taps)
+        ),
+        blocks.BinarySlicer(),
+        blocks.NrziDecode(),
+        blocks.HdlcDeframer(10, 1500, fix_bits, keep_checksum),
+        sink,
+    ]
+    g.chain(*chain)
+    if chunk_size:
+        g.run_stream(chunk_size=chunk_size, mesh=mesh)
+    else:
+        g.run(mesh=mesh)
+    return [bytes(np.asarray(p.data)) for p in sink.pdus()]
+
+
 @functools.partial(
     jax.jit, static_argnames=("samp_rate", "new_rate", "cutoff", "twidth", "fast_fm")
 )

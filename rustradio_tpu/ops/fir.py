@@ -134,7 +134,13 @@ def fir_filter_translating(x, taps, samp_rate: float, freq: float, deci: int = 1
     y = fir_filter(x, taps_rot, deci)
     # Per-output rotator: first output aligned with newest sample of the
     # first window (index ntaps-1), advancing deci inputs per output.
+    # Phases are reduced mod 2π in float64 BEFORE the f32 cast jnp applies
+    # with x64 disabled — raw phases reach |step|·deci·m and an f32 cast
+    # there costs ~2^-23·|phase| radians (measured 4e-3 rad by m ≈ 12k).
     m = y.shape[0]
-    phases = (-input_step) * (ntaps - 1 + deci * np.arange(m, dtype=np.float64))
-    rotator = jnp.exp(1j * jnp.asarray(phases)).astype(jnp.complex64)
+    phases = np.mod(
+        (-input_step) * (ntaps - 1 + deci * np.arange(m, dtype=np.float64)),
+        2.0 * np.pi,
+    )
+    rotator = jnp.exp(1j * jnp.asarray(phases, np.float32)).astype(jnp.complex64)
     return y * rotator

@@ -90,55 +90,33 @@ def sharded_bell202_demod(audio, samp_rate: float, mesh, axis: str = "time",
     Band-pass -> Hilbert(65) -> quadrature demod -> 1100 Hz low-pass ->
     centre offset (models/ax25.py::bell202_demod; the input band-pass is
     the r3 decode-rate addition, the rest is the reference chain,
-    examples/ax25-1200-rx.rs:229-247), with every filter history crossing
-    shard boundaries as a ppermute halo instead of carried state.  Output
-    matches the offline chain except the final global sample (the demod's
-    missing lookahead).
+    examples/ax25-1200-rx.rs:229-247).
+
+    Thin wrapper: the body is built from the blocks' own shard plans via
+    :func:`..parallel.graph_mesh.shard_chain` — the SAME machinery
+    ``Graph.run(mesh=...)`` compiles, so the halo widths are derived from
+    what each block declares instead of being re-hardcoded here.  Output
+    equals the offline chain exactly (length N-1).
     """
     from .. import taps as tapgen
-    from ..ops.fft_filter import filter_float as _filter_float
+    from ..blocks.demod import QuadratureDemod
+    from ..blocks.elementwise import AddConst
+    from ..blocks.filters import FftFilterFloat, Hilbert
+    from .graph_mesh import shard_chain
 
-    hil = np.asarray(tapgen.hilbert(65, "hamming"))
     lp = np.asarray(tapgen.low_pass(
         samp_rate, 1100.0, 200.0 if band is not None else 100.0, "hamming"))
-    bp = None if band is None else np.asarray(
-        tapgen.band_pass(samp_rate, band[0], band[1], 65, "hamming")
-    )
-    nh, nl = len(hil), len(lp)
-    nb = 0 if bp is None else len(bp)
-    n_sh = mesh.shape[axis]
-    if audio.shape[0] % n_sh:
-        raise ValueError("stream length must divide the mesh axis")
-    if audio.shape[0] // n_sh <= max(nh, nl, nb):
-        raise ValueError("shard shorter than the filter halo")
-    center = jnp.float32(-2.0 * np.pi * 1700.0 / samp_rate)
-
-    def body(xs):
-        ln = xs.shape[0]
-        if bp is not None:
-            # input band-pass (zero history at global stream start)
-            ext0 = halo_exchange_left(xs, nb - 1, axis)
-            xs = jax.lax.dynamic_slice_in_dim(_filter_float(ext0, bp), nb - 1, ln)
-        # Hilbert: y_im[i] = sum_j hil[j] x[i-1-j]; y_re[i] = x[i - ceil(nh/2)]
-        # via the filter dispatcher (banded MXU kernel on TPU — mixing a
-        # HIGHEST conv with a pallas_call in one program triggers a
-        # pathological XLA compile, ~7 min vs seconds on v5e)
-        ext = halo_exchange_left(xs, nh, axis)
-        y_im = jax.lax.dynamic_slice_in_dim(_filter_float(ext, hil), nh - 1, ln)
-        y_re = jax.lax.dynamic_slice_in_dim(ext, nh // 2, ln)
-        analytic = jax.lax.complex(y_re, y_im)
-        # FM discriminator with a 1-sample right halo
-        ext2 = halo_exchange_right(analytic, 1, axis, fill=0)
-        d = jnp.conj(ext2[:-1]) * ext2[1:]
-        fm = jnp.arctan2(jnp.imag(d).astype(jnp.float32), jnp.real(d).astype(jnp.float32))
-        # 1100 Hz channel low-pass (zero history at global stream start);
-        # banded MXU kernel on TPU, overlap-save elsewhere
-        ext3 = halo_exchange_left(fm, nl - 1, axis)
-        y = _filter_float(ext3, lp)
-        y = jax.lax.dynamic_slice_in_dim(y, nl - 1, ln)
-        return y + center
-
-    return _shmap(mesh, axis, body)(jnp.asarray(audio, jnp.float32))
+    chain = []
+    if band is not None:
+        chain.append(FftFilterFloat(
+            tapgen.band_pass(samp_rate, band[0], band[1], 65, "hamming")))
+    chain += [
+        Hilbert(65),
+        QuadratureDemod(1.0),
+        FftFilterFloat(lp),
+        AddConst(-np.float32(2.0 * np.pi * 1700.0 / samp_rate)),
+    ]
+    return shard_chain(chain, mesh, axis)(jnp.asarray(audio, jnp.float32))
 
 
 def sharded_symbol_sync_bank(xs, sps: float, mesh, axis: str = "chan",
@@ -209,36 +187,24 @@ def sharded_fm_demod(
     axis: str = "time",
     fft_size: int | None = None,
 ):
-    """The headline chain — FFT low-pass + decimate + FM demod — fused into
-    ONE shard_map (one jit program, halos exchanged once per stream)."""
-    taps = np.asarray(taps)
-    ntaps = len(taps)
-    n_sh = mesh.shape[axis]
-    n = iq.shape[0]
-    if n % (n_sh * deci):
-        raise ValueError(f"stream length {n} not divisible by shards*deci")
+    """The headline chain — channel low-pass + decimate + FM demod — fused
+    into ONE shard_map (one jit program, halos exchanged once per stream).
 
-    from ..ops.pallas_kernels import _on_tpu, pallas_fir_decimate
+    Thin wrapper over :func:`..parallel.graph_mesh.shard_chain`: the body
+    is built from FirFilter's and QuadratureDemod's own shard plans — the
+    SAME machinery ``Graph.run(mesh=...)`` compiles — so halo widths and
+    decimation-grid alignment are derived, not hardcoded.  Output follows
+    the blocks' valid-conv streaming alignment: it equals
+    ``quadrature_demod(fir_filter(iq, taps, deci), gain)`` for every
+    sample that chain defines (up to one trailing sample whose window
+    touches the stream end may follow; slice to the offline length for
+    exact comparison).  ``fft_size`` is accepted for API compatibility
+    (the filter dispatcher picks the kernel).
+    """
+    from ..blocks.demod import QuadratureDemod
+    from ..blocks.filters import FirFilter
+    from .graph_mesh import shard_chain
 
-    # VMEM-resident weight stack: MXU path only for short-to-medium filters.
-    use_mxu = _on_tpu() and ntaps <= 1024
-
-    def body(xs):
-        ext = halo_exchange_left(xs, ntaps - 1, axis)
-        if use_mxu:
-            # Align the shard's first output to the global decimation grid:
-            # left-pad so the halo offset (ntaps-1) lands on a deci multiple,
-            # then the banded MXU kernel emits exactly the local outputs.
-            p = (-(ntaps - 1)) % deci
-            y = pallas_fir_decimate(jnp.pad(ext, (p, 0)), taps, deci)
-            y = y[(p + ntaps - 1) // deci :][: xs.shape[0] // deci]
-        else:
-            y = _fft_filter(ext, taps, fft_size)[ntaps - 1 :]
-            y = y[::deci]
-        ext2 = halo_exchange_right(y, 1, axis, fill=0)
-        d = jnp.conj(ext2[:-1]) * ext2[1:]
-        return jnp.float32(gain) * jnp.arctan2(
-            jnp.imag(d).astype(jnp.float32), jnp.real(d).astype(jnp.float32)
-        )
-
-    return _shmap(mesh, axis, body)(iq)
+    return shard_chain(
+        [FirFilter(np.asarray(taps), deci), QuadratureDemod(gain)], mesh, axis
+    )(iq)

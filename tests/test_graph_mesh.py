@@ -1,0 +1,238 @@
+"""Mesh-integrated Graph runner: run()/run_stream(mesh=...).
+
+The reference gets transparent multi-core execution by swapping Graph
+for MTGraph (src/mtgraph.rs:73-149; examples/ax25-1200-rx.rs:209-213 is
+one constructor flag).  Here the flag is ``mesh=`` — these tests assert
+that any block-built flowgraph produces IDENTICAL output on the 8-device
+CPU mesh as on one device, in both offline and streaming modes,
+including ragged tails (demotion), checkpoints, and tags.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from rustradio_tpu import blocks, ops, taps
+from rustradio_tpu.graph import Graph
+from rustradio_tpu.parallel import make_mesh
+from rustradio_tpu.streams import Tag
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh"
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+def _bell_chain(data, sink, fs=24000.0):
+    g = Graph()
+    bp = np.asarray(taps.band_pass(fs, 400.0, 2700.0, 65, "hamming"), np.float32)
+    lp = np.asarray(taps.low_pass(fs, 1100.0, 200.0, "hamming"), np.float32)
+    g.chain(
+        blocks.VectorSource(data),
+        blocks.FftFilterFloat(bp),
+        blocks.Hilbert(65),
+        blocks.QuadratureDemod(1.0),
+        blocks.FftFilterFloat(lp),
+        blocks.AddConst(-0.3),
+        sink,
+    )
+    return g
+
+
+def test_offline_mesh_equals_single(mesh):
+    rng = np.random.RandomState(0)
+    data = rng.randn(48000).astype(np.float32)
+    s1, s2 = blocks.VectorSink(), blocks.VectorSink()
+    _bell_chain(data, s1).run()
+    _bell_chain(data, s2).run(mesh=mesh)
+    a, b = np.asarray(s1.data()), np.asarray(s2.data())
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+
+def test_streaming_mesh_equals_single(mesh):
+    rng = np.random.RandomState(1)
+    data = rng.randn(48000).astype(np.float32)
+    s1, s2 = blocks.VectorSink(), blocks.VectorSink()
+    _bell_chain(data, s1).run_stream(chunk_size=8000)
+    _bell_chain(data, s2).run_stream(chunk_size=8000, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(s1.data()), np.asarray(s2.data()), atol=1e-6, rtol=0
+    )
+
+
+def test_offline_mesh_odd_length_pads_and_trims(mesh):
+    # stream length not divisible by the mesh: padded internally, output
+    # trimmed to the exact single-device length
+    rng = np.random.RandomState(2)
+    data = rng.randn(10007).astype(np.float32)
+    s1, s2 = blocks.VectorSink(), blocks.VectorSink()
+    _bell_chain(data, s1).run()
+    _bell_chain(data, s2).run(mesh=mesh)
+    a, b = np.asarray(s1.data()), np.asarray(s2.data())
+    assert a.shape == b.shape
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+
+def _fir_chain(data, sink):
+    g = Graph()
+    lp = np.asarray(taps.low_pass(48000.0, 8000.0, 2000.0, "hamming"), np.float32)
+    g.chain(
+        blocks.VectorSource(data),
+        blocks.FirFilter(lp, deci=4),
+        blocks.MultiplyConst(2.0),
+        blocks.FirFilter(np.ones(5, np.float32) / 5, deci=3),
+        sink,
+    )
+    return g
+
+
+def test_decimating_fir_mesh_offline_and_ragged_stream(mesh):
+    # valid-conv FIRs with decimation: the mesh grid realigns per the
+    # cumulative drop; the ragged final chunk demotes to single-device
+    # with carried halos converted to block state
+    rng = np.random.RandomState(3)
+    data = rng.randn(50001).astype(np.float32)
+    outs = []
+    for kw in ({}, {"mesh": mesh}):
+        s = blocks.VectorSink()
+        _fir_chain(data, s).run(**kw)
+        outs.append(np.asarray(s.data()))
+    s = blocks.VectorSink()
+    _fir_chain(data, s).run_stream(chunk_size=9600, mesh=mesh)
+    outs.append(np.asarray(s.data()))
+    s = blocks.VectorSink()
+    _fir_chain(data, s).run_stream(chunk_size=9600)
+    outs.append(np.asarray(s.data()))
+    for o in outs[1:]:
+        assert o.shape == outs[0].shape
+        np.testing.assert_allclose(o, outs[0], atol=2e-6)
+
+
+def test_translating_fir_mesh(mesh):
+    # frequency-translating FIR: per-output rotator phase must track the
+    # GLOBAL output index across shards and chunks
+    rng = np.random.RandomState(4)
+    data = (rng.randn(24000) + 1j * rng.randn(24000)).astype(np.complex64)
+    lp = np.asarray(taps.low_pass_complex(48000.0, 8000.0, 2000.0, "hamming"))
+
+    def build(sink):
+        g = Graph()
+        g.chain(
+            blocks.VectorSource(data),
+            blocks.FirFilter(lp, deci=2, translate=(48000.0, 12000.0)),
+            sink,
+        )
+        return g
+
+    s1, s2, s3 = blocks.VectorSink(), blocks.VectorSink(), blocks.VectorSink()
+    build(s1).run()
+    build(s2).run(mesh=mesh)
+    build(s3).run_stream(chunk_size=4800, mesh=mesh)
+    a = np.asarray(s1.data())
+    np.testing.assert_allclose(np.asarray(s2.data()), a, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s3.data()), a, atol=2e-4)
+
+
+def test_digital_chain_mesh(mesh):
+    # bit-domain blocks (slicer, NRZI, descrambler, access-code) shard too
+    rng = np.random.RandomState(5)
+    data = rng.randn(4096).astype(np.float32)
+
+    def build(sink):
+        g = Graph()
+        g.chain(
+            blocks.VectorSource(data),
+            blocks.BinarySlicer(),
+            blocks.NrziDecode(),
+            blocks.Descrambler.g3ruh(),
+            sink,
+        )
+        return g
+
+    s1, s2, s3 = blocks.VectorSink(), blocks.VectorSink(), blocks.VectorSink()
+    build(s1).run()
+    build(s2).run(mesh=mesh)
+    build(s3).run_stream(chunk_size=1024, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(s1.data()), np.asarray(s2.data()))
+    np.testing.assert_array_equal(np.asarray(s1.data()), np.asarray(s3.data()))
+
+
+def test_mesh_tags_rescale(mesh):
+    # tags ride through a sharded decimating segment with positions
+    # rescaled exactly as in the single-device path
+    rng = np.random.RandomState(6)
+    data = rng.randn(9600).astype(np.float32)
+    tags = [Tag(1000, "mark", 1), Tag(5000, "mark", 2)]
+
+    def build(sink):
+        g = Graph()
+        g.chain(
+            blocks.VectorSource(data, tags=tags),
+            blocks.FirFilter(np.ones(9, np.float32) / 9, deci=4),
+            sink,
+        )
+        return g
+
+    s1, s2 = blocks.VectorSink(), blocks.VectorSink()
+    build(s1).run_stream(chunk_size=2400)
+    build(s2).run_stream(chunk_size=2400, mesh=mesh)
+    assert [t for t in s1.tags() if t.key == "mark"] == [
+        t for t in s2.tags() if t.key == "mark"
+    ]
+
+
+def test_mesh_checkpoint_resume(mesh, tmp_path):
+    rng = np.random.RandomState(7)
+    data = rng.randn(48000).astype(np.float32)
+    ck = str(tmp_path / "mesh.ckpt")
+
+    s1 = blocks.VectorSink()
+    _bell_chain(data, s1).run_stream(chunk_size=8000, mesh=mesh)
+
+    s2 = blocks.VectorSink()
+    g = _bell_chain(data, s2)
+    g.run_stream(chunk_size=8000, mesh=mesh, max_chunks=3,
+                 checkpoint_path=ck, checkpoint_every=3)
+    s3 = blocks.VectorSink()
+    g2 = _bell_chain(data, s3)
+    g2.run_stream(chunk_size=8000, mesh=mesh, resume_from=ck)
+    got = np.concatenate([np.asarray(s2.data()), np.asarray(s3.data())])
+    np.testing.assert_allclose(got, np.asarray(s1.data()), atol=1e-6, rtol=0)
+
+    # mode mismatch is an error, not silent garbage
+    s4 = blocks.VectorSink()
+    with pytest.raises(ValueError, match="mesh"):
+        _bell_chain(data, s4).run_stream(chunk_size=8000, resume_from=ck)
+
+
+def test_ax25_receiver_from_blocks_on_mesh(mesh):
+    """The VERDICT r3 bar: an AX.25 receiver built from blocks decodes
+    identical packets on the mesh as on one device (and as the model
+    chain)."""
+    from rustradio_tpu.models.ax25 import ax25_1200_rx, ax25_1200_rx_graph
+    from test_models import make_afsk
+
+    fs = 24000.0
+    payloads = [b"MESH GRAPH FRAME ONE", b"MESH GRAPH FRAME TWO!"]
+    audio = np.concatenate([make_afsk(p, fs=fs, lead_zeros=500) for p in payloads])
+
+    single = ax25_1200_rx_graph(audio, fs)
+    assert single == payloads
+    meshed = ax25_1200_rx_graph(audio, fs, mesh=mesh)
+    assert meshed == single
+    streamed = ax25_1200_rx_graph(audio, fs, mesh=mesh, chunk_size=16000)
+    assert streamed == single
+    # and the block graph agrees with the model-function receiver
+    assert [bytes(p) for p in ax25_1200_rx(audio, fs)] == single
+
+
+def test_mesh_scan_chunks_rejected(mesh):
+    g = _bell_chain(np.zeros(48000, np.float32), blocks.VectorSink())
+    with pytest.raises(ValueError, match="scan_chunks"):
+        g.run_stream(chunk_size=8000, mesh=mesh, scan_chunks=4)

@@ -67,9 +67,12 @@ def test_sharded_fm_demod_chain(mesh):
     taps = tg.low_pass_complex(1_024_000.0, 100_000.0, 50_000.0)
     deci = 4
     got = np.asarray(sharded_fm_demod(jnp.asarray(x), taps, mesh, deci=deci, gain=1.0))
-    want_f = np.asarray(ops.fft_filter(x, taps))[::deci]
-    want = np.asarray(ops.quadrature_demod(want_f, 1.0))
-    np.testing.assert_allclose(got[:-1], want, atol=1e-3)
+    # blocks' valid-conv streaming alignment (see sharded_fm_demod doc)
+    want_f = np.asarray(ops.fir_filter(jnp.asarray(x), taps, deci))
+    want = np.asarray(ops.quadrature_demod(jnp.asarray(want_f), 1.0))
+    m = min(len(got), len(want))
+    np.testing.assert_allclose(got[:m], want[:m], atol=1e-3)
+    assert m >= len(want) - 1
 
 
 def test_sharded_fm_demod_under_jit(mesh):
@@ -80,7 +83,7 @@ def test_sharded_fm_demod_under_jit(mesh):
     f = jax.jit(lambda x: sharded_fm_demod(x, taps, mesh, deci=4))
     x = jnp.ones(8 * 4096, jnp.complex64)
     out = f(x)
-    assert out.shape == (8 * 4096 // 4,)
+    assert out.shape == (8 * 4096 // 4 - (len(taps) - 1) // 4 - 1,)
 
 
 def test_rejects_misaligned_length(mesh):
