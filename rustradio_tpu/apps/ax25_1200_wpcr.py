@@ -26,7 +26,19 @@ def main(argv=None) -> int:
     p.add_argument("--threshold", type=float, default=0.0001)
     p.add_argument("--iir_alpha", type=float, default=0.01)
     p.add_argument("--fix_bits", action="store_true")
+    p.add_argument(
+        "--no_prewarm", action="store_true",
+        help="skip the background WPCR bucket compile at startup "
+        "(prewarming hides the buckets' first-execution compile behind "
+        "file reading / the front-end, so the first burst decodes "
+        "immediately — doc/performance.md 'WPCR first-packet latency')",
+    )
     opt = p.parse_args(argv)
+
+    if not opt.no_prewarm:
+        from .. import ops
+
+        ops.prewarm_buckets(batches=(1, 2, 4))
 
     iq = rawfile.read_samples(opt.read, "c32")
     t0 = time.time()

@@ -206,10 +206,25 @@ class DataStreamServer:
         self.clients = 0
         self._server = None
 
+    async def _wrap(self, reader, writer):
+        """Transport hook: adapt the raw TCP pair before DATA_STREAM runs
+        over it (the websocket server overrides this with the RFC 6455
+        handshake + frame adapters)."""
+        return reader, writer
+
     async def _handle(self, reader, writer):
         import asyncio
 
         self.clients += 1
+        try:
+            reader, writer = await self._wrap(reader, writer)
+        except Exception:
+            self.clients -= 1
+            try:
+                writer.close()
+            except (ConnectionError, OSError):
+                pass
+            return
         r = AsyncReader(reader)
         w = AsyncWriter(writer)
         try:
@@ -269,6 +284,20 @@ class DataStreamServer:
         if self._server is not None:
             self._server.close()
             await self._server.wait_closed()
+
+
+class WsDataStreamServer(DataStreamServer):
+    """DATA_STREAM served over websockets (reference src/data_stream.rs
+    websocket support, consumed by rustradio-ui/src/worker/source.rs):
+    the same credit-flow server with the RFC 6455 handshake + binary
+    frame adapters layered under it.  Browser clients connect with a
+    plain ``WebSocket`` and speak the identical framed protocol."""
+
+    async def _wrap(self, reader, writer):
+        from .websocket import WsByteReader, WsByteWriter, server_handshake
+
+        await server_handshake(reader, writer)
+        return WsByteReader(reader, writer), WsByteWriter(writer)
 
 
 class SyncReader:

@@ -35,7 +35,7 @@ from .vco import vco
 from .symbol_sync import (recover_symbols, symbol_sync,
                           symbol_sync_events, zero_crossing_sync)
 from .hdlc import calc_crc, fcs_add, hdlc_deframe, hdlc_frame
-from .wpcr import midpoint, midpoint_batch, wpcr, wpcr_batch
+from .wpcr import midpoint, midpoint_batch, prewarm_buckets, wpcr, wpcr_batch
 from .burst import burst_tagger, pdu_average, stream_to_pdu
 from .cma import cma_equalize
 from .correlate import correlate_access_code

@@ -474,6 +474,144 @@ def _fm_i8_kernel(off_ref, xr_ref, xrh_ref, xi_ref, xih_ref, w_ref,
     out_ref[:] = _prev_demod(yr, yi, rows, gain)
 
 
+def _banded_acc(X2, w_ref, *, deci, nshift, nq, rows, precision, scales=()):
+    """FIR accumulator over one plane held in VMEM ALREADY in the
+    deci-flattened ``(rows + halo, deci*128)`` layout — the db pipeline
+    DMAs straight into it (the HBM-side reshape is a bitcast), so no
+    in-kernel relayout/concat pass ever touches the input.  The shift
+    blocks are lane-aligned slices (see _shift_blocks), each feeding its
+    own MXU dot per precision term."""
+    K = nshift * 128
+    step = deci * 128
+    blocks = []
+    nfull = nshift // deci
+    for q in range(nfull):
+        blocks.append((X2[q : q + rows], q * step, step))
+    for s in range(nfull * deci, nshift):
+        q, d = divmod(s, deci)
+        blocks.append((X2[q : q + rows, 128 * d : 128 * (d + 1)], s * 128, 128))
+
+    if precision == "i8":
+        acc = jnp.zeros((rows, 128), jnp.float32)
+        for t in range(len(scales)):
+            ai = jnp.zeros((rows, 128), jnp.int32)
+            for A, k0, k in blocks:
+                ai = ai + jnp.dot(
+                    A, w_ref[t * K + k0 : t * K + k0 + k],
+                    preferred_element_type=jnp.int32,
+                )
+            acc = acc + jnp.float32(scales[t] / 128.0) * ai.astype(jnp.float32)
+        return acc
+    acc = jnp.zeros((rows, 128), jnp.float32)
+    if precision in ("w2", "w3"):
+        nterms = 2 if precision == "w2" else 3
+        for A, k0, k in blocks:
+            for t in range(nterms):
+                acc = acc + jnp.dot(
+                    A, w_ref[t * K + k0 : t * K + k0 + k],
+                    preferred_element_type=jnp.float32,
+                )
+    elif precision == "split3":
+        for A, k0, k in blocks:
+            W = w_ref[k0 : k0 + k]
+            Ah = A.astype(jnp.bfloat16)
+            Al = (A - Ah.astype(jnp.float32)).astype(jnp.bfloat16)
+            Wh = W.astype(jnp.bfloat16)
+            Wl = (W - Wh.astype(jnp.float32)).astype(jnp.bfloat16)
+            acc = acc + jnp.dot(Ah, Wh, preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(Ah, Wl, preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(Al, Wh, preferred_element_type=jnp.float32)
+    else:
+        for A, k0, k in blocks:
+            acc = acc + jnp.dot(
+                A, w_ref[k0 : k0 + k],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+    return acc
+
+
+def _fm_chain_db_kernel(off_ref, xr_hbm, xi_hbm, w_ref, out_hbm,
+                        in_s, out_s, in_sem, out_sem, *,
+                        deci, nshift, nq, rows, g, hrows, gain,
+                        precision, scales, tapsum):
+    """Manually double-buffered FM chain: the planes stay in HBM and a
+    fori_loop streams (tile + halo) windows through 2-slot VMEM scratch
+    with explicit async copies.  The inputs arrive in HBM ALREADY in the
+    deci-flattened (…, deci*128) layout (a free bitcast on the XLA
+    side), so the kernel never pays the (N,128)→(N/deci, deci*128)
+    Mosaic relayout or the tile+halo concat the grid-pipelined kernel
+    does — the dots read the DMA'd buffer in place.  ``hrows`` here is
+    the halo in FLATTENED rows (≥ nq, 8-aligned).
+    """
+    rows_in = rows + hrows
+
+    def in_dma(slot, i, plane, pref):
+        return pltpu.make_async_copy(
+            pref.at[pl.ds(i * rows, rows_in)],
+            in_s.at[slot, plane],
+            in_sem.at[slot, plane],
+        )
+
+    def out_dma(slot, i):
+        return pltpu.make_async_copy(
+            out_s.at[slot],
+            out_hbm.at[pl.ds(i * rows, rows)],
+            out_sem.at[slot],
+        )
+
+    in_dma(0, 0, 0, xr_hbm).start()
+    in_dma(0, 0, 1, xi_hbm).start()
+
+    if precision == "i8":
+        dc = (jnp.float32(1.0 / 128.0) + off_ref[0]) * jnp.float32(tapsum)
+    else:
+        dc = off_ref[0] * jnp.float32(tapsum)
+
+    def body(i, carry):
+        slot = jax.lax.rem(i, 2)
+        nxt = jax.lax.rem(i + 1, 2)
+
+        @pl.when(i + 1 < g)
+        def _():
+            in_dma(nxt, i + 1, 0, xr_hbm).start()
+            in_dma(nxt, i + 1, 1, xi_hbm).start()
+
+        in_dma(slot, i, 0, xr_hbm).wait()
+        in_dma(slot, i, 1, xi_hbm).wait()
+
+        @pl.when(i >= 2)
+        def _():
+            out_dma(slot, i - 2).wait()
+
+        yr = _banded_acc(in_s[slot, 0], w_ref, deci=deci, nshift=nshift,
+                         nq=nq, rows=rows, precision=precision,
+                         scales=scales) + dc
+        yi = _banded_acc(in_s[slot, 1], w_ref, deci=deci, nshift=nshift,
+                         nq=nq, rows=rows, precision=precision,
+                         scales=scales) + dc
+        audio = _prev_demod(yr, yi, rows, gain)
+
+        @pl.when(slot == 0)
+        def _():
+            out_s[0] = audio
+
+        @pl.when(slot == 1)
+        def _():
+            out_s[1] = audio
+
+        out_dma(slot, i).start()
+        return carry
+
+    jax.lax.fori_loop(0, g, body, 0)
+
+    @pl.when(g >= 2)
+    def _():
+        out_dma(g % 2, g - 2).wait()
+
+    out_dma((g - 1) % 2, g - 1).wait()
+
+
 def _w_split_bf16(w: np.ndarray, terms: int) -> np.ndarray:
     """Static exact bf16 split of the weight matrix: w == sum(parts) to
     ~2^-27 relative (3 x 8 mantissa bits covers f32's 24).  numpy-only so
@@ -519,7 +657,7 @@ def _to_s8(x):
 
 def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
                     tile_rows: int | None = None, offset=0.0,
-                    precision: str = "highest"):
+                    precision: str = "highest", pipeline: str = "grid"):
     """The whole FM receive chain in ONE memory pass: banded MXU FIR
     low-pass + decimate on both I/Q planes, then the quadrature
     discriminator with polynomial atan2 — all in VMEM per tile.
@@ -586,6 +724,7 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
         )
 
     wlen, nshift, nq, w = _fir_band_weights(taps, deci)
+    scales = ()
     if int8_input:
         wcat, scales = _w_split_s8(w, 3)
         wmat = jnp.asarray(wcat)
@@ -619,31 +758,75 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
             _fm_chain_kernel, deci=deci, nshift=nshift, nq=nq, rows=tile_rows,
             gain=gain, precision=precision, tapsum=tapsum,
         )
-    hblocks_per_tile = tile_rows * deci // hrows
-    main_spec = pl.BlockSpec(
-        (tile_rows * deci, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    halo_spec = pl.BlockSpec(
-        (hrows, 128), lambda i: ((i + 1) * hblocks_per_tile, 0),
-        memory_space=pltpu.VMEM,
-    )
-    audio = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((g * tile_rows, 128), jnp.float32),
-        grid=(g,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            main_spec,
-            halo_spec,
-            main_spec,
-            halo_spec,
-            pl.BlockSpec(wmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=_INTERPRET,
-    )(off, xr2d, xr2d, xi2d, xi2d, wmat)
+    if pipeline == "db":
+        # Manually double-buffered streaming (see _fm_chain_db_kernel):
+        # planes stay HBM-resident IN THE DECI-FLATTENED LAYOUT (the
+        # reshape below is a bitcast — same bytes), and explicit async
+        # copies overlap the next tile's DMA (incl. its halo, contiguous
+        # in the window) with the current tile's dots.
+        nqp = nq + (-nq) % 8  # flattened halo rows, 8-aligned for DMA
+        step = deci * 128
+        left = wlen - 1
+        total = (g * tile_rows + nqp) * step
+        if int8_input:
+            xpr = jnp.pad(_to_s8(xr), (left, total - n - left),
+                          constant_values=-1)
+            xpi = jnp.pad(_to_s8(xi), (left, total - n - left),
+                          constant_values=-1)
+        else:
+            xpr = jnp.pad(xr, (left, total - n - left))
+            xpi = jnp.pad(xi, (left, total - n - left))
+        xpr = xpr.reshape(-1, step)
+        xpi = xpi.reshape(-1, step)
+        kern_db = functools.partial(
+            _fm_chain_db_kernel, deci=deci, nshift=nshift, nq=nq,
+            rows=tile_rows, g=g, hrows=nqp, gain=gain,
+            precision=precision, scales=scales, tapsum=tapsum,
+        )
+        audio = pl.pallas_call(
+            kern_db,
+            out_shape=jax.ShapeDtypeStruct((g * tile_rows, 128), jnp.float32),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, 2, tile_rows + nqp, step), xpr.dtype),
+                pltpu.VMEM((2, tile_rows, 128), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=_INTERPRET,
+        )(off, xpr, xpi, wmat)
+    else:
+        hblocks_per_tile = tile_rows * deci // hrows
+        main_spec = pl.BlockSpec(
+            (tile_rows * deci, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        )
+        halo_spec = pl.BlockSpec(
+            (hrows, 128), lambda i: ((i + 1) * hblocks_per_tile, 0),
+            memory_space=pltpu.VMEM,
+        )
+        audio = pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((g * tile_rows, 128), jnp.float32),
+            grid=(g,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                main_spec,
+                halo_spec,
+                main_spec,
+                halo_spec,
+                pl.BlockSpec(wmat.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tile_rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            interpret=_INTERPRET,
+        )(off, xr2d, xr2d, xi2d, xi2d, wmat)
     audio = audio.reshape(-1)
     if g > 1:
         # Cross-tile boundary outputs (one per tile seam): recompute the

@@ -261,6 +261,71 @@ def _wpcr_bucket_fn(L: int, do_midpoint: bool):
     return jax.jit(jax.vmap(one))
 
 
+import threading as _threading
+
+_PREWARM_STOP = _threading.Event()
+
+
+def prewarm_buckets(lengths=(2048, 4096, 8192, 16384, 32768),
+                    batches=(1,), midpoint_first: bool = True,
+                    background: bool = True):
+    """Compile AND execute the WPCR bucket programs ahead of the first
+    burst.
+
+    On hosted TPU transports the first execution of each bucket program
+    pays remote AOT compilation (measured 8 s idle, minutes under load —
+    doc/performance.md "WPCR first-packet latency"), so a burst receiver
+    that waits for its first packet before touching a bucket eats that
+    cost on the packet.  This warms the (batch, length) grid in a daemon
+    thread while the app starts up / waits for signal; executions force
+    the remote AOT (client-side jit alone does not), and results land in
+    jax's dispatch + persistent caches.
+
+    Returns the thread (``background=True``) or None after running
+    inline.  Reference context: src/wpcr.rs:130-197 builds its FFT plan
+    per burst; here the plan is a compiled XLA program per bucket.
+
+    ``RR_NO_PREWARM=1`` disables it (the test suite sets this — a warm
+    thread compiling during other measurements skews them, and a daemon
+    thread killed inside an XLA call aborts interpreter shutdown).
+    """
+    import os
+
+    if os.environ.get("RR_NO_PREWARM"):
+        return None
+    stop = _PREWARM_STOP
+
+    def _warm():
+        for L in lengths:
+            for B in batches:
+                if stop.is_set():
+                    return
+                try:
+                    fn = _wpcr_bucket_fn(int(L), midpoint_first)
+                    out = fn(jnp.zeros((int(B), int(L)), jnp.float32),
+                             jnp.zeros((int(B),), jnp.int32))
+                    np.asarray(out[2])  # readback forces remote AOT
+                except Exception:  # noqa: BLE001 - warming must never kill the app
+                    return
+
+    if not background:
+        _warm()
+        return None
+    import threading
+
+    # NON-daemon + a stop flag raised before the interpreter joins
+    # threads: a daemon thread killed inside an XLA call takes the whole
+    # process down with "FATAL: exception not rethrown".  Exit waits at
+    # most one bucket compile.
+    t = threading.Thread(target=_warm, name="wpcr-prewarm", daemon=False)
+    try:
+        threading._register_atexit(stop.set)
+    except Exception:  # pragma: no cover - private API fallback
+        t.daemon = True
+    t.start()
+    return t
+
+
 def wpcr_batch(bursts, midpoint_first: bool = True):
     """Batched device-side WPCR over many bursts.
 
@@ -291,9 +356,12 @@ def wpcr_batch(bursts, midpoint_first: bool = True):
             continue
         buckets.setdefault(L, []).append(i)
     for L, idxs in buckets.items():
-        B = len(idxs)
+        # batch dimension rounds up to a power of two (zero-length pad
+        # rows, ignored on readback): bounds the compiled-program count
+        # AND lets prewarm_buckets' (batch, length) grid hit real shapes
+        B = 1 << (len(idxs) - 1).bit_length() if idxs else 1
         padded = np.zeros((B, L), np.float32)
-        lens = np.empty(B, np.int32)
+        lens = np.zeros(B, np.int32)
         for row, i in enumerate(idxs):
             b = np.asarray(bursts[i], np.float32)
             padded[row, : len(b)] = b

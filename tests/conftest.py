@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# never spawn the WPCR prewarm thread under tests: background compiles
+# skew other measurements and outlive the test that started them
+os.environ.setdefault("RR_NO_PREWARM", "1")
 
 import jax  # noqa: E402
 
