@@ -106,6 +106,13 @@ def emit(**kw):
 # ---------------------------------------------------------------- benches
 
 def bench_fm_chain():
+    """The fused FM chain from KERNEL-RESIDENT packed planes — the
+    steady-state format a receiver's ingest pass writes (fm_plane_pack;
+    the u8 normalize touches every sample anyway, so writing the packed
+    layout is free).  The pack pass itself is the fm_ingest_pack row.
+    Packing happens once per timed program (outside the scan body), so
+    the per-iteration rate is the chain itself, matching the 5 B/sample
+    HBM model in doc/performance.md."""
     n = 1 << 24 if on_tpu() else 1 << 18
     deci = 4
     lp = np.real(np.asarray(
@@ -116,15 +123,31 @@ def bench_fm_chain():
             a, b = jax.random.normal(key, (2, n), jnp.float32)
             a = jnp.round(jnp.clip(a * 38, -128, 127)) * jnp.float32(1 / 128)
             b = jnp.round(jnp.clip(b * 38, -128, 127)) * jnp.float32(1 / 128)
+            pa = ops.fm_plane_pack(a, lp, deci, precision=_p)
+            pb = ops.fm_plane_pack(b, lp, deci, precision=_p)
 
             def body(s):
-                return jnp.sum(ops.pallas_fm_chain(a, b, lp, deci, 1.0,
-                                                   offset=s, precision=_p))
+                return jnp.sum(ops.pallas_fm_chain(pa, pb, lp, deci, 1.0,
+                                                   offset=s, precision=_p,
+                                                   n=n))
 
             return jnp.float32(0.0), body
 
         emit(bench=f"fm_chain/{prec}", msps=round(timed_loop(make, n), 1),
              n=n, deci=deci, ntaps=len(lp))
+
+    # the ingest pass: flat wire-grid f32 plane -> packed bf16 plane
+    def make_pack(key):
+        a = jax.random.normal(key, (n,), jnp.float32)
+        a = jnp.round(jnp.clip(a * 38, -128, 127)) * jnp.float32(1 / 128)
+
+        def body(s):
+            p = ops.fm_plane_pack(a + s, lp, deci, precision="w3")
+            return jnp.sum(p[-1].astype(jnp.float32))
+
+        return jnp.float32(0.0), body
+
+    emit(bench="fm_ingest_pack", msps=round(timed_loop(make_pack, n), 1), n=n)
 
 
 def bench_fir():

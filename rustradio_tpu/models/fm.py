@@ -62,10 +62,39 @@ def fm_demod_chain(
     return _fm_demod_chain(stage_iq(iq), samp_rate, cutoff, twidth, deci, gain)
 
 
+def fm_pack_planes(
+    i,
+    q,
+    samp_rate: float = 1_024_000.0,
+    cutoff: float = 100_000.0,
+    twidth: float = 50_000.0,
+    deci: int = 4,
+    precision: str = "w3",
+):
+    """Ingest: flat I/Q planes -> the fused kernel's HBM-resident packed
+    format (ops.fm_plane_pack) + the true sample count.
+
+    A receiver writes this layout where it normalizes the SDR's u8 wire
+    bytes (one pass that touches every sample anyway); the chain then
+    runs at its kernel-native rate with no per-call relayout.  Feed the
+    result to :func:`fm_demod_chain_planar` with ``n=``.
+    """
+    from .. import ops
+
+    lp = np.asarray(tapgen.low_pass_complex(samp_rate, cutoff, twidth, "hamming"))
+    n = jnp.asarray(i).shape[0]
+    taps = np.real(lp)
+    return (
+        ops.fm_plane_pack(i, taps, deci, precision=precision),
+        ops.fm_plane_pack(q, taps, deci, precision=precision),
+        n,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("samp_rate", "cutoff", "twidth", "deci", "gain",
-                     "precision"),
+                     "precision", "n"),
 )
 def fm_demod_chain_planar(
     i,
@@ -77,6 +106,7 @@ def fm_demod_chain_planar(
     gain: float = 1.0,
     precision: str = "highest",
     dc_offset: float = 0.0,
+    n: int | None = None,
 ):
     """Planar-input FM chain: the fastest TPU path.
 
@@ -96,6 +126,10 @@ def fm_demod_chain_planar(
     from ..ops.pallas_kernels import _on_tpu, pallas_fm_chain
 
     lp = np.asarray(tapgen.low_pass_complex(samp_rate, cutoff, twidth, "hamming"))
+    if getattr(i, "ndim", 1) == 2:
+        # packed planes from fm_pack_planes: kernel-native fast path
+        return pallas_fm_chain(i, q, np.real(lp), deci, gain,
+                               offset=dc_offset, precision=precision, n=n)
     if _on_tpu() and len(lp) <= 1024 and not np.any(np.imag(lp)):
         return pallas_fm_chain(i, q, np.real(lp), deci, gain,
                                offset=dc_offset, precision=precision)

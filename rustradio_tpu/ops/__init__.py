@@ -44,6 +44,7 @@ from .signal import signal_source_c, signal_source_f
 
 _PALLAS_NAMES = (
     "fast_atan2",
+    "fm_plane_pack",
     "pallas_fir_decimate",
     "pallas_fm_chain",
     "pallas_quad_demod",

@@ -531,6 +531,25 @@ def _banded_acc(X2, w_ref, *, deci, nshift, nq, rows, precision, scales=()):
     return acc
 
 
+def _prev_demod_carry(yr, yi, rows, gain, pr0, pi0):
+    """_prev_demod with the cross-tile seam fixed IN-KERNEL: the tile's
+    first element takes the previous tile's last filtered sample from the
+    loop carry (pr0, pi0) instead of the roll wrap-around garbage."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+
+    def prev_of(y, p0):
+        rot = pltpu.roll(y, 1, 1)
+        rot = jnp.where(lane == 0, pltpu.roll(rot, 1, 0), rot)
+        return jnp.where((lane == 0) & (row == 0), p0, rot)
+
+    pr = prev_of(yr, pr0)
+    pi = prev_of(yi, pi0)
+    dr = pr * yr + pi * yi
+    di = pr * yi - pi * yr
+    return jnp.float32(gain) * fast_atan2(di, dr)
+
+
 def _fm_chain_db_kernel(off_ref, xr_hbm, xi_hbm, w_ref, out_hbm,
                         in_s, out_s, in_sem, out_sem, *,
                         deci, nshift, nq, rows, g, hrows, gain,
@@ -569,6 +588,7 @@ def _fm_chain_db_kernel(off_ref, xr_hbm, xi_hbm, w_ref, out_hbm,
         dc = off_ref[0] * jnp.float32(tapsum)
 
     def body(i, carry):
+        pr0, pi0 = carry
         slot = jax.lax.rem(i, 2)
         nxt = jax.lax.rem(i + 1, 2)
 
@@ -590,7 +610,9 @@ def _fm_chain_db_kernel(off_ref, xr_hbm, xi_hbm, w_ref, out_hbm,
         yi = _banded_acc(in_s[slot, 1], w_ref, deci=deci, nshift=nshift,
                          nq=nq, rows=rows, precision=precision,
                          scales=scales) + dc
-        audio = _prev_demod(yr, yi, rows, gain)
+        # cross-tile seam handled by the loop carry: no host-side
+        # recompute/scatter pass over the output
+        audio = _prev_demod_carry(yr, yi, rows, gain, pr0, pi0)
 
         @pl.when(slot == 0)
         def _():
@@ -601,9 +623,9 @@ def _fm_chain_db_kernel(off_ref, xr_hbm, xi_hbm, w_ref, out_hbm,
             out_s[1] = audio
 
         out_dma(slot, i).start()
-        return carry
+        return yr[rows - 1, 127], yi[rows - 1, 127]
 
-    jax.lax.fori_loop(0, g, body, 0)
+    jax.lax.fori_loop(0, g, body, (jnp.float32(0.0), jnp.float32(0.0)))
 
     @pl.when(g >= 2)
     def _():
@@ -655,9 +677,62 @@ def _to_s8(x):
     ).astype(jnp.int8)
 
 
+def _fm_pack_geometry(n: int, taps, deci: int, tile_rows: int | None):
+    """Shared geometry for the packed-plane format: returns
+    (wlen, nshift, nq, nqp, tile_rows, g, m, step, total_samples)."""
+    taps = np.asarray(taps)
+    wlen, nshift, nq, _w = _fir_band_weights(np.real(taps).astype(np.float32),
+                                             deci)
+    if tile_rows is None:
+        tile_rows = 1024
+    tile_rows = max(tile_rows, nq)
+    tile_rows += (-tile_rows) % 16
+    m = -(-n // deci)
+    g = -(-(-(-m // 128)) // tile_rows)
+    nqp = nq + (-nq) % 8
+    step = deci * 128
+    total = (g * tile_rows + nqp) * step
+    return wlen, nshift, nq, nqp, tile_rows, g, m, step, total
+
+
+def fm_plane_pack(x, taps, deci: int, tile_rows: int | None = None,
+                  precision: str = "w3"):
+    """Pack one I/Q plane into the fused FM kernel's HBM-resident format.
+
+    The double-buffered kernel streams (tile + halo) windows of a
+    deci-flattened ``(rows, deci*128)`` array; materializing that tiled
+    layout from a flat plane costs a full relayout pass (~20 Gsps worth
+    at w3 — the dominant wrapper cost).  A receiver that WRITES this
+    format at ingest (the u8 normalize pass touches every sample anyway)
+    feeds the kernel at its native ~84 Gsps w3 / ~113 w2 rate.
+
+    Pass the result as ``pallas_fm_chain(packed_r, packed_i, ..., n=n)``
+    with the true sample count.  dtype follows ``precision``: bf16 for
+    w2/w3 (exact for 8-bit-sourced wire grids), s8 for i8, f32 otherwise.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    wlen, _nsh, _nq, _nqp, tile_rows, _g, _m, step, total = _fm_pack_geometry(
+        n, taps, deci, tile_rows
+    )
+    if precision == "i8":
+        x = _to_s8(x)
+        pad_value = -1
+    elif precision in ("w2", "w3"):
+        x = x.astype(jnp.bfloat16)
+        pad_value = 0
+    else:
+        x = x.astype(jnp.float32)
+        pad_value = 0
+    xp = jnp.pad(x, (wlen - 1, total - n - (wlen - 1)),
+                 constant_values=pad_value)
+    return xp.reshape(-1, step)
+
+
 def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
                     tile_rows: int | None = None, offset=0.0,
-                    precision: str = "highest", pipeline: str = "grid"):
+                    precision: str = "highest", pipeline: str | None = None,
+                    n: int | None = None):
     """The whole FM receive chain in ONE memory pass: banded MXU FIR
     low-pass + decimate on both I/Q planes, then the quadrature
     discriminator with polynomial atan2 — all in VMEM per tile.
@@ -702,13 +777,31 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
     taps = taps.astype(np.float32)
     exact_input = precision in ("w2", "w3")
     int8_input = precision == "i8"
-    if exact_input:
-        xr = jnp.asarray(xr).astype(jnp.bfloat16)
-        xi = jnp.asarray(xi).astype(jnp.bfloat16)
+    packed = getattr(xr, "ndim", 1) == 2
+    if packed:
+        # planes arrive in the kernel-resident format (fm_plane_pack):
+        # no per-call cast/pad/relayout passes at all
+        if n is None:
+            raise ValueError("packed planes need the true sample count n=")
+        if not _on_tpu():
+            raise ValueError("packed planes are a TPU-only format")
+        if pipeline is None:
+            pipeline = "db"
+        if pipeline != "db":
+            raise ValueError("packed planes require the db pipeline")
     else:
-        xr = jnp.asarray(xr, jnp.float32)
-        xi = jnp.asarray(xi, jnp.float32)
-    n = xr.shape[0]
+        if exact_input:
+            xr = jnp.asarray(xr).astype(jnp.bfloat16)
+            xi = jnp.asarray(xi).astype(jnp.bfloat16)
+        else:
+            xr = jnp.asarray(xr, jnp.float32)
+            xi = jnp.asarray(xi, jnp.float32)
+        n = xr.shape[0]
+        if pipeline is None:
+            # from flat planes the grid pipeline wins: the db form needs
+            # the deci-flattened layout, whose per-call materialization
+            # costs more than it saves (measured; see fm_plane_pack)
+            pipeline = "grid"
     off = jnp.asarray(offset, jnp.float32).reshape(1)
     tapsum = float(np.sum(taps, dtype=np.float64))
     if not _on_tpu():
@@ -739,45 +832,26 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
         tile_rows = 1024
     tile_rows = max(tile_rows, nq)
     tile_rows += (-tile_rows) % 16
-    if int8_input:
-        # kernel planes: exact s8 image, zero history = pad -1; the f32
-        # planes stay live for the seam windows below
-        kr, ki = _to_s8(xr), _to_s8(xi)
-        xr2d, hrows, g, m = _banded_tiling(kr, deci, nq, wlen, tile_rows,
-                                           pad_value=-1)
-        xi2d, _, _, _ = _banded_tiling(ki, deci, nq, wlen, tile_rows,
-                                       pad_value=-1)
-        kern = functools.partial(
-            _fm_i8_kernel, deci=deci, nshift=nshift, nq=nq, rows=tile_rows,
-            gain=gain, scales=scales, tapsum=tapsum,
-        )
-    else:
-        xr2d, hrows, g, m = _banded_tiling(xr, deci, nq, wlen, tile_rows)
-        xi2d, _, _, _ = _banded_tiling(xi, deci, nq, wlen, tile_rows)
-        kern = functools.partial(
-            _fm_chain_kernel, deci=deci, nshift=nshift, nq=nq, rows=tile_rows,
-            gain=gain, precision=precision, tapsum=tapsum,
-        )
     if pipeline == "db":
         # Manually double-buffered streaming (see _fm_chain_db_kernel):
-        # planes stay HBM-resident IN THE DECI-FLATTENED LAYOUT (the
-        # reshape below is a bitcast — same bytes), and explicit async
-        # copies overlap the next tile's DMA (incl. its halo, contiguous
-        # in the window) with the current tile's dots.
+        # planes stay HBM-resident in the deci-flattened packed layout;
+        # explicit async copies overlap the next tile's DMA (incl. its
+        # halo, contiguous in the window) with the current tile's dots.
         nqp = nq + (-nq) % 8  # flattened halo rows, 8-aligned for DMA
         step = deci * 128
-        left = wlen - 1
-        total = (g * tile_rows + nqp) * step
-        if int8_input:
-            xpr = jnp.pad(_to_s8(xr), (left, total - n - left),
-                          constant_values=-1)
-            xpi = jnp.pad(_to_s8(xi), (left, total - n - left),
-                          constant_values=-1)
+        m = -(-n // deci)
+        g = -(-(-(-m // 128)) // tile_rows)
+        if packed:
+            want = (g * tile_rows + nqp, step)
+            if tuple(xr.shape) != want or tuple(xi.shape) != want:
+                raise ValueError(
+                    f"packed plane shape {tuple(xr.shape)} != {want} for "
+                    f"n={n}, deci={deci}, tile_rows={tile_rows}"
+                )
+            xpr, xpi = xr, xi
         else:
-            xpr = jnp.pad(xr, (left, total - n - left))
-            xpi = jnp.pad(xi, (left, total - n - left))
-        xpr = xpr.reshape(-1, step)
-        xpi = xpi.reshape(-1, step)
+            xpr = fm_plane_pack(xr, taps, deci, tile_rows, precision)
+            xpi = fm_plane_pack(xi, taps, deci, tile_rows, precision)
         kern_db = functools.partial(
             _fm_chain_db_kernel, deci=deci, nshift=nshift, nq=nq,
             rows=tile_rows, g=g, hrows=nqp, gain=gain,
@@ -801,7 +875,30 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
             ],
             interpret=_INTERPRET,
         )(off, xpr, xpi, wmat)
+        # cross-tile seams are fixed in-kernel (loop carry); the first
+        # global output (zero history) is dropped below
+        return audio.reshape(-1)[1:m]
     else:
+        if int8_input:
+            # kernel planes: exact s8 image, zero history = pad -1; the
+            # f32 planes stay live for the seam windows below
+            kr, ki = _to_s8(xr), _to_s8(xi)
+            xr2d, hrows, g, m = _banded_tiling(kr, deci, nq, wlen, tile_rows,
+                                               pad_value=-1)
+            xi2d, _, _, _ = _banded_tiling(ki, deci, nq, wlen, tile_rows,
+                                           pad_value=-1)
+            kern = functools.partial(
+                _fm_i8_kernel, deci=deci, nshift=nshift, nq=nq,
+                rows=tile_rows, gain=gain, scales=scales, tapsum=tapsum,
+            )
+        else:
+            xr2d, hrows, g, m = _banded_tiling(xr, deci, nq, wlen, tile_rows)
+            xi2d, _, _, _ = _banded_tiling(xi, deci, nq, wlen, tile_rows)
+            kern = functools.partial(
+                _fm_chain_kernel, deci=deci, nshift=nshift, nq=nq,
+                rows=tile_rows, gain=gain, precision=precision,
+                tapsum=tapsum,
+            )
         hblocks_per_tile = tile_rows * deci // hrows
         main_spec = pl.BlockSpec(
             (tile_rows * deci, 128), lambda i: (i, 0), memory_space=pltpu.VMEM

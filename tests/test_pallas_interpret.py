@@ -139,3 +139,35 @@ def test_fm_chain_interpret_offset_fold(interpret_kernels, precision):
     # the pad region too (documented; same skip as tests/test_pallas.py)
     warm = -(-len(taps) // 4)
     np.testing.assert_allclose(got[warm:], want[warm:], atol=3e-4)
+
+
+@pytest.mark.parametrize(
+    "precision,atol",
+    [("highest", 2e-4), ("w3", 3e-4), ("w2", 8e-3), ("split3", 8e-3),
+     ("i8", 3e-4)],
+)
+def test_fm_chain_db_packed_interpret(interpret_kernels, precision, atol):
+    # the double-buffered pipeline fed pre-packed planes (fm_plane_pack):
+    # in-kernel seam carry + manual DMA loop, all precisions
+    rng = np.random.RandomState(4)
+    n = 3 * 128 * 128 * 4 + 57  # 3 tiles at tile_rows=128 + ragged tail
+    a = (rng.randint(0, 256, n).astype(np.float32) - 127.0) / 128.0
+    b = (rng.randint(0, 256, n).astype(np.float32) - 127.0) / 128.0
+    taps = np.asarray(
+        np.hamming(49) * np.sinc(0.2 * (np.arange(49) - 24)), np.float32
+    )
+    pa = pk.fm_plane_pack(a, taps, 4, tile_rows=128, precision=precision)
+    pb = pk.fm_plane_pack(b, taps, 4, tile_rows=128, precision=precision)
+    got = np.asarray(
+        pk.pallas_fm_chain(pa, pb, taps, 4, 0.9, tile_rows=128,
+                           precision=precision, n=n)
+    )
+    want = _fm_chain_f64(a, b, taps, 4, 0.9)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=atol)
+    # and the db pipeline from FLAT planes matches too (slow path)
+    got2 = np.asarray(
+        pk.pallas_fm_chain(a, b, taps, 4, 0.9, tile_rows=128,
+                           precision=precision, pipeline="db")
+    )
+    np.testing.assert_allclose(got2, want, atol=atol)
