@@ -87,3 +87,15 @@ def test_sharded_channel_bank_matches_local():
     # per-shard demod loses the cross-shard sample at shard boundaries of
     # the TIME axis only; channels are independent so results match exactly
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_idft_mxu_matches_ifft():
+    # the TPU path's direct MXU IDFT must equal jnp.fft.ifft * M
+    from rustradio_tpu.parallel.channelizer import _idft_mxu
+
+    rng = np.random.RandomState(7)
+    v = (rng.randn(64, 256) + 1j * rng.randn(64, 256)).astype(np.complex64)
+    got = np.asarray(_idft_mxu(jnp.asarray(v), 256))
+    want = np.fft.ifft(v.astype(np.complex128), axis=1) * 256
+    err = np.abs(got - want) / np.abs(want).max()
+    assert err.max() < 1e-5
