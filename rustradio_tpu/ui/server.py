@@ -174,7 +174,63 @@ class _Handler(BaseHTTPRequestHandler):
         if url.path == "/api/stats":
             text = feed.stats_fn() if feed.stats_fn else ""
             return self._send(200, json.dumps({"text": text}).encode(), "application/json")
+        if url.path == "/ws":
+            return self._serve_ws(url)
         self._send(404, b"not found", "text/plain")
+
+    def _serve_ws(self, url):
+        """Pushed frame stream over a websocket (reference: the browser
+        UI consumes a pushed DATA_STREAM over ws, rustradio-ui/src/
+        worker/source.rs; here the dashboard's frame batches push the
+        same JSON bodies /api/frames serves, so the page stops polling).
+
+        Synchronous send loop — ThreadingHTTPServer gives this
+        connection its own thread; the RFC 6455 framing is shared with
+        io/websocket.py.
+        """
+        from ..io.websocket import OP_BINARY, accept_key, encode_frame
+
+        key = self.headers.get("Sec-WebSocket-Key")
+        if not key or self.headers.get("Upgrade", "").lower() != "websocket":
+            return self._send(400, b"websocket upgrade required", "text/plain")
+        self.send_response(101, "Switching Protocols")
+        self.send_header("Upgrade", "websocket")
+        self.send_header("Connection", "Upgrade")
+        self.send_header("Sec-WebSocket-Accept", accept_key(key))
+        self.end_headers()
+        self.close_connection = True
+        feed = self.feed
+        q = parse_qs(url.query)
+        since = int(q.get("since", ["0"])[0])
+        last_stats = 0.0
+        try:
+            while True:
+                start, nxt, rows = feed.frames_since(since)
+                if rows:
+                    since = nxt
+                    lo = feed.lo if feed.lo is not None else 0.0
+                    hi = feed.hi if feed.hi is not None else 1.0
+                    span = max(hi - lo, 1e-9)
+                    quant = [
+                        np.clip((r - lo) / span * 255.0, 0, 255)
+                        .astype(np.uint8).tobytes().hex()
+                        for r in rows
+                    ]
+                    body = {"start": start, "next": nxt, "lo": lo, "hi": hi,
+                            "done": feed.done, "rows": quant}
+                    self.wfile.write(encode_frame(json.dumps(body).encode(),
+                                                  OP_BINARY))
+                now = time.time()
+                if feed.stats_fn and now - last_stats > 2.0:
+                    last_stats = now
+                    self.wfile.write(encode_frame(json.dumps(
+                        {"stats": feed.stats_fn()}).encode(), OP_BINARY))
+                if feed.done and not rows:
+                    break
+                if not rows:
+                    time.sleep(1.0 / max(feed.fps, 1.0))
+        except (ConnectionError, OSError, BrokenPipeError):
+            pass  # client went away
 
 
 class UiServer:

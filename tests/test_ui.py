@@ -88,3 +88,47 @@ def test_ui_live_sdr_retune():
     finally:
         feed.done = True
         srv.stop()
+
+
+def test_ui_ws_pushes_frames():
+    # the /ws endpoint pushes the same frame batches /api/frames serves
+    # (reference UI model: a pushed ws stream, not polling)
+    import asyncio
+
+    from rustradio_tpu.io import websocket as ws
+
+    fs = 48_000.0
+    t = np.arange(int(fs)) / fs
+    iq = (0.5 * np.exp(2j * np.pi * 6_000.0 * t)).astype(np.complex64)
+    chunks = [iq[i : i + 12_000] for i in range(0, len(iq), 12_000)]
+    feed = SpectrumFeed(
+        iter(chunks), samp_rate=fs, fft_size=256, fps=20.0, realtime=False,
+        stats_fn=lambda: "stats over ws",
+    )
+    srv = UiServer(feed).start()
+    try:
+        feed.join(timeout=30)
+        assert feed.done
+        host, port = srv.httpd.server_address[:2]
+
+        async def go():
+            reader, writer = await asyncio.open_connection(host, port)
+            await ws.client_handshake(reader, writer, f"{host}:{port}",
+                                      "/ws?since=0")
+            rows, stats = [], None
+            while len(rows) == 0 or stats is None:
+                op, payload = await asyncio.wait_for(ws.read_frame(reader),
+                                                     timeout=10)
+                if op != ws.OP_BINARY:
+                    continue
+                body = json.loads(payload.decode())
+                rows.extend(body.get("rows", []))
+                stats = body.get("stats", stats)
+            writer.close()
+            return rows, stats
+
+        rows, stats = asyncio.run(asyncio.wait_for(go(), timeout=20))
+        assert len(bytes.fromhex(rows[-1])) == 256
+        assert stats == "stats over ws"
+    finally:
+        srv.stop()
