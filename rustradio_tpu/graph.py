@@ -786,8 +786,6 @@ class Graph:
         """
         import contextlib
 
-        if mesh is not None and scan_chunks:
-            raise ValueError("scan_chunks with mesh= is not supported yet")
         _pstack = contextlib.ExitStack()
         _pstack.enter_context(self._profile_ctx(profile_dir))
         try:
@@ -888,7 +886,8 @@ class Graph:
                 if max_chunks is not None:
                     nb = min(nb, max_chunks - chunk_count)
             if nb >= 2:
-                self._run_batch(nb, chunk_size, offset, states, out_offsets)
+                self._run_batch(nb, chunk_size, offset, states, out_offsets,
+                                segs, seg_member, mesh_plans)
                 before = chunk_count
                 offset += nb * chunk_size
                 chunk_count += nb
@@ -1073,12 +1072,19 @@ class Graph:
         return cached
 
     def _run_batch(self, nb: int, chunk_size: int, offset: int,
-                   states: dict, out_offsets: dict) -> None:
+                   states: dict, out_offsets: dict,
+                   segs=None, seg_member=None, mesh_plans=None) -> None:
         """Advance the whole graph by ``nb`` full chunks with ONE dispatch
         per device segment (lax.scan over the stacked chunks).  Host blocks
         see the chunks one at a time, in stream order, so every stateful
-        host machine behaves exactly as in the per-chunk path."""
+        host machine behaves exactly as in the per-chunk path.  Sharded
+        (mesh) segments scan their shard_map program over the batch with
+        the carried halos as the scan carry."""
         import jax
+
+        if segs is None:
+            segs = self._segments()
+            seg_member, mesh_plans = self._seg_member, {}
 
         # values: stacked jax array (leading dim nb) for device producers,
         # or a per-chunk list for host/source producers
@@ -1129,12 +1135,65 @@ class Graph:
         def chunk_sds(a):
             return jax.ShapeDtypeStruct(a.shape[1:], a.dtype)
 
-        segs = self._segments()
         for node in self._topo():
             b = node.block
-            seg_first = self._seg_member.get(node.idx)
+            seg_first = seg_member.get(node.idx)
             if seg_first is not None and seg_first != node.idx:
                 continue
+            if seg_first is not None and mesh_plans.get(seg_first) is not None:
+                # sharded segment: scan the shard_map program over the
+                # batch (carried halos as the scan carry); demoted
+                # segments fall through to the plain path below
+                ms = mesh_plans[seg_first]
+                mkey = f"mesh:{seg_first}"
+                mst = states.get(mkey)
+                demoted = isinstance(mst, dict) and mst.get("demoted")
+                if not demoted and mst is not None and mst.get("tails") is not None:
+                    seg = segs[seg_first]
+                    from .parallel.graph_mesh import NotShardable
+
+                    xs = as_stacked(ms.ext_in)
+                    t0 = time.perf_counter()
+                    try:
+                        new_tails, outs, lens = ms.run_batch(
+                            mst["tails"], xs, int(mst["consumed"])
+                        )
+                    except NotShardable:
+                        # convert halos to block state and demote; the
+                        # plain path below finishes this batch
+                        if mst.get("tails") is not None:
+                            states.update(ms.carries_to_states(
+                                mst["tails"], int(mst["consumed"])))
+                        states[mkey] = {"demoted": True}
+                    else:
+                        states[mkey] = {
+                            "tails": new_tails,
+                            "consumed": int(mst["consumed"]) + nb * int(xs.shape[1]),
+                        }
+                        elapsed = time.perf_counter() - t0
+                        self._cost_time[seg[0].idx] = (
+                            self._cost_time.get(seg[0].idx, 0.0) + elapsed
+                        )
+                        for nd in seg:
+                            self._stats[nd.idx] = self._stats.get(nd.idx, 0.0) + (
+                                elapsed / len(seg)
+                            )
+                        for k, o in zip(ms.ext_out, outs):
+                            values[k] = o  # stacked (nb, len)
+                        mlens = ms.member_lens(
+                            int(mst["consumed"]), int(xs.shape[1])
+                        )
+                        for nd in seg:
+                            per_port = [[] for _ in range(max(nd.block.n_out, 1))]
+                            for bi in range(nb):
+                                ots = nd.block.process_tags(
+                                    in_tags_of(nd, bi), mlens[nd.idx]
+                                )
+                                for i, ot in enumerate(ots):
+                                    per_port[i].append(ot)
+                            for i, pp in enumerate(per_port):
+                                tags[(nd.idx, i)] = pp
+                        continue
             if seg_first is not None:
                 seg = segs[seg_first]
                 _, _, raw = self._segment_raw(seg, True)

@@ -302,6 +302,60 @@ class MeshSegment:
         self._fn = jax.jit(fn, static_argnums=(4, 5))
         return self._fn
 
+    def _build_scan(self):
+        import jax
+
+        fn = self._fn or self._build()
+
+        def scan_fn(carries, aux_s, in0s, xs):
+            def body(c, per):
+                aux_i, in0_i, x_i = per
+                new_c, outs = fn(c, aux_i, in0_i, x_i, False, None)
+                return new_c, outs
+
+            return jax.lax.scan(body, carries, (aux_s, in0s, xs))
+
+        self._scan_fn = jax.jit(scan_fn)
+        return self._scan_fn
+
+    def run_batch(self, carries, xs, consumed: int):
+        """Advance the segment over a whole stack of full-size chunks in
+        ONE compiled program (lax.scan over the shard_map body) — the
+        scan-runner form of the mesh path.  ``xs``: (nb, chunk) stacked
+        chunks; requires consumed > 0 (the stream's warm-up chunk ran
+        through run_chunk, so no start trims apply here) and full
+        divisible chunks.  Returns (new_carries, stacked outputs tuple,
+        per-chunk lens list)."""
+        import jax.numpy as jnp
+
+        nb, n = int(xs.shape[0]), int(xs.shape[1])
+        if consumed == 0 or n % (self.n_sh * self.div) or n < self.min_chunk:
+            raise NotShardable("batch needs warm, full, divisible chunks")
+        fn = getattr(self, "_scan_fn", None) or self._build_scan()
+        in0s = jnp.asarray(
+            np.minimum(consumed + np.arange(nb, dtype=np.int64) * n, 1 << 30),
+            jnp.int32,
+        )
+        aux = {}
+        for nd in self.nodes:
+            p = self.plans[nd.idx]
+            if p.prep is not None:
+                key = (nd.inputs[0].node.idx, nd.inputs[0].index)
+                r = self.ratio[key]
+                aux[nd.idx] = jnp.asarray(
+                    [
+                        np.float32(p.prep((consumed + b * n) * r.numerator
+                                          // r.denominator))
+                        for b in range(nb)
+                    ]
+                )
+        new_carries, outs = fn(carries, aux, in0s, xs)
+        lens = []
+        for kk in self.ext_out:
+            r = self.ratio[kk]
+            lens.append(n * r.numerator // r.denominator)
+        return new_carries, outs, lens
+
     def run_chunk(self, carries, x, consumed: int, true_len: int | None = None):
         """Advance the segment by one chunk.
 

@@ -232,7 +232,27 @@ def test_ax25_receiver_from_blocks_on_mesh(mesh):
     assert [bytes(p) for p in ax25_1200_rx(audio, fs)] == single
 
 
-def test_mesh_scan_chunks_rejected(mesh):
-    g = _bell_chain(np.zeros(48000, np.float32), blocks.VectorSink())
-    with pytest.raises(ValueError, match="scan_chunks"):
-        g.run_stream(chunk_size=8000, mesh=mesh, scan_chunks=4)
+def test_mesh_with_scan_chunks(mesh):
+    # the compiled scan runner composes with mesh execution: each sharded
+    # segment scans its shard_map program over the batch, halos as carry
+    rng = np.random.RandomState(8)
+    data = rng.randn(48000).astype(np.float32)
+    s1, s2, s3 = blocks.VectorSink(), blocks.VectorSink(), blocks.VectorSink()
+    _bell_chain(data, s1).run_stream(chunk_size=4800)
+    _bell_chain(data, s2).run_stream(chunk_size=4800, mesh=mesh, scan_chunks=4)
+    _bell_chain(data, s3).run_stream(chunk_size=4800, scan_chunks=4)
+    a = np.asarray(s1.data())
+    # scanning the same program lets XLA reassociate a few f32 ops, which
+    # the demod's atan2 amplifies at near-zero samples (~2e-6 worst)
+    np.testing.assert_allclose(np.asarray(s2.data()), a, atol=1e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(s3.data()), a, atol=1e-5, rtol=0)
+
+
+def test_mesh_scan_chunks_fir_deci(mesh):
+    rng = np.random.RandomState(9)
+    data = rng.randn(96000).astype(np.float32)
+    s1, s2 = blocks.VectorSink(), blocks.VectorSink()
+    _fir_chain(data, s1).run_stream(chunk_size=9600)
+    _fir_chain(data, s2).run_stream(chunk_size=9600, mesh=mesh, scan_chunks=4)
+    np.testing.assert_allclose(
+        np.asarray(s2.data()), np.asarray(s1.data()), atol=2e-6)
