@@ -256,3 +256,28 @@ def test_mesh_scan_chunks_fir_deci(mesh):
     _fir_chain(data, s2).run_stream(chunk_size=9600, mesh=mesh, scan_chunks=4)
     np.testing.assert_allclose(
         np.asarray(s2.data()), np.asarray(s1.data()), atol=2e-6)
+
+
+def test_mesh_fanout_tee(mesh):
+    # a Tee inside a sharded segment: two external outputs with their own
+    # trims, consumed by separate sinks
+    rng = np.random.RandomState(10)
+    data = rng.randn(19200).astype(np.float32)
+
+    def build(sa, sb):
+        g = Graph()
+        src = g.add(blocks.VectorSource(data))
+        f = g.add(blocks.FirFilter(np.ones(9, np.float32) / 9, deci=4), src)
+        t = g.add(blocks.Tee(), f)
+        g.add(sa, t[0])
+        g.add(sb, g.add(blocks.MultiplyConst(3.0), t[1]))
+        return g
+
+    a1, b1 = blocks.VectorSink(), blocks.VectorSink()
+    build(a1, b1).run()
+    a2, b2 = blocks.VectorSink(), blocks.VectorSink()
+    build(a2, b2).run(mesh=mesh)
+    np.testing.assert_allclose(np.asarray(a2.data()), np.asarray(a1.data()),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b2.data()), np.asarray(b1.data()),
+                               atol=1e-6)
