@@ -147,12 +147,24 @@ class Block:
         """
         if (
             self.shard_halo is None
-            or self.n_in != 1
+            or self.n_in < 1
             or self.n_out < 1
             or self.deci != 1
             or self.interp != 1
         ):
             return None
+        if self.n_in >= 2:
+            # multi-input blocks shard only as pure elementwise combiners
+            # (no halo, same rate): the planner verifies all inputs share
+            # one rate and stream-start drop, and passes the exts tuple
+            if self.shard_halo != 0:
+                return None
+            return ShardFn(
+                halo=0,
+                d_out=di + self.shard_extra_drop,
+                div=1,
+                fn=lambda exts, n, ctx: self.apply(*exts),
+            )
         return ShardFn(
             halo=self.shard_halo,
             d_out=di + self.shard_extra_drop,

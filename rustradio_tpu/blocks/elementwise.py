@@ -41,6 +41,7 @@ class XorConst(Block):
 
 class Add(Block):
     n_in = 2
+    shard_halo = 0  # elementwise combiner (mesh: inputs must share rate)
 
     def apply(self, a, b):
         return ops.add(a, b)
@@ -48,6 +49,7 @@ class Add(Block):
 
 class Xor(Block):
     n_in = 2
+    shard_halo = 0
 
     def apply(self, a, b):
         return ops.xor(a, b)
@@ -107,6 +109,7 @@ class Tee(Block):
 
 class FloatToComplex(Block):
     n_in = 2
+    shard_halo = 0
 
     def apply(self, re, im):
         return ops.float_to_complex(re, im)

@@ -249,7 +249,6 @@ class Graph:
         b = n.block
         return (
             self._fusable(n)
-            and b.n_in == 1
             and not hasattr(b, "flush")
             and not hasattr(b, "flush_with_state")
             and b.shard_fn(0) is not None

@@ -127,11 +127,25 @@ class MeshSegment:
         min_chunk = 1
         for n in self.nodes:
             b = n.block
-            if b.n_in != 1 or hasattr(b, "flush") or hasattr(b, "flush_with_state"):
+            if b.n_in < 1 or hasattr(b, "flush") or hasattr(b, "flush_with_state"):
                 raise NotShardable(f"{b.name()} not mesh-eligible")
-            key = (n.inputs[0].node.idx, n.inputs[0].index)
-            if key != self.ext_in and key[0] not in member:
-                raise NotShardable("mesh segments take exactly one external input")
+            keys = [(p.node.idx, p.index) for p in n.inputs]
+            for key in keys:
+                if key != self.ext_in and key[0] not in member:
+                    raise NotShardable(
+                        "mesh segments take exactly one external input"
+                    )
+            if len(keys) > 1:
+                # multi-input combiner: all inputs must share one rate and
+                # one stream-start drop, or the elementwise combine would
+                # misalign the streams
+                if len({ratio[k] for k in keys}) != 1 or len(
+                    {drops[k] for k in keys}
+                ) != 1:
+                    raise NotShardable(
+                        f"{b.name()} inputs differ in rate or drop"
+                    )
+            key = keys[0]
             sf = b.shard_fn(drops[key])
             if sf is None:
                 raise NotShardable(f"{b.name()} has no shard plan")
@@ -171,9 +185,9 @@ class MeshSegment:
         vals = {self.ext_in: x_sds}
         dts = {}
         for n in self.nodes:
-            key = (n.inputs[0].node.idx, n.inputs[0].index)
-            dts[n.idx] = vals[key].dtype
-            out = jax.eval_shape(n.block.apply, vals[key])
+            ins = [vals[(p.node.idx, p.index)] for p in n.inputs]
+            dts[n.idx] = ins[0].dtype
+            out = jax.eval_shape(n.block.apply, *ins)
             outs = out if isinstance(out, tuple) else (out,)
             for i, o in enumerate(outs):
                 vals[(n.idx, i)] = o
@@ -250,7 +264,10 @@ class MeshSegment:
                 xin = vals[key]
                 L = xin.shape[0]
                 p = plans[n.idx]
-                if p.halo:
+                if n.block.n_in > 1:
+                    # elementwise combiner: all inputs, no halo
+                    ext = tuple(vals[(q.node.idx, q.index)] for q in n.inputs)
+                elif p.halo:
                     tails[n.idx] = xin[-p.halo :]
                     recv = jax.lax.ppermute(
                         xin[-p.halo :], axis,

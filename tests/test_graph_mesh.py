@@ -281,3 +281,29 @@ def test_mesh_fanout_tee(mesh):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(b2.data()), np.asarray(b1.data()),
                                atol=1e-6)
+
+
+def test_mesh_diamond_add(mesh):
+    # Tee -> two filtered branches -> Add, all INSIDE one sharded segment
+    # (multi-input elementwise combiners join when rates/drops agree)
+    rng = np.random.RandomState(11)
+    data = rng.randn(19200).astype(np.float32)
+
+    def build(sink):
+        g = Graph()
+        src = g.add(blocks.VectorSource(data))
+        t = g.add(blocks.Tee(), src)
+        a = g.add(blocks.MultiplyConst(0.5), t[0])
+        b = g.add(blocks.FftFilterFloat(np.ones(7, np.float32) / 7), t[1])
+        s = g.add(blocks.Add(), a, b)
+        g.add(sink, s)
+        return g
+
+    s1, s2, s3 = blocks.VectorSink(), blocks.VectorSink(), blocks.VectorSink()
+    build(s1).run()
+    build(s2).run(mesh=mesh)
+    build(s3).run_stream(chunk_size=4800, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(s2.data()), np.asarray(s1.data()),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s3.data()), np.asarray(s1.data()),
+                               atol=1e-6)
