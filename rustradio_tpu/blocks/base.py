@@ -124,7 +124,11 @@ class Block:
         """Streaming state equivalent to having consumed ``consumed``
         samples whose last ``shard_halo`` are ``tail`` (mesh runner's
         fallback/EOF conversion).  For the tail-state family this is
-        position-independent."""
+        position-independent.  Halo-free blocks are called with
+        ``tail=None``; position-dependent ones (e.g. a rate changer)
+        override this to rebuild their offsets from ``consumed``."""
+        if tail is None and not self.shard_halo:
+            return self.init_state()
         return self.state_from_tail(tail)
 
     def apply_ext(self, ext, n_local, in0, out0):

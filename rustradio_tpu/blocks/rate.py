@@ -97,8 +97,12 @@ class Delay(Block):
             raise ValueError("delay must be >= 0")
         self.delay = n
         self.dynamic = dynamic
-        if not dynamic:
-            self.shard_halo = n  # static delay: output = halo-shifted input
+        # Static Delay declares NO shard plan: its end-of-stream drain
+        # (flush_with_state emits the carried ``delay``-sample tail, so
+        # the total stream is N + delay) cannot be reproduced by the
+        # sharded offline form, whose totals model rate-1 streaming —
+        # the planner would reject the flush hook anyway, so a halo
+        # declaration here would be dead and only suggest otherwise.
         self._pending: list[int] = []
         self._zeros_this = 0
         self._skip_this = 0

@@ -696,6 +696,13 @@ class Graph:
                     ms = mesh_plans.get(seg_first)
                     if ms is not None:
                         n_in = len(values[ms.ext_in])
+                        # a stream shorter than the per-shard halo cannot
+                        # shard (the shard_map body would trace a shape
+                        # mismatch); fall back to single-device execution
+                        # like the streaming path's demotion
+                        if n_in < ms.min_chunk:
+                            ms = None
+                    if ms is not None:
                         self._run_segment_mesh(
                             ms, segs[seg_first], values, tags, true_len=n_in
                         )

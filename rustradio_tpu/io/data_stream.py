@@ -297,7 +297,12 @@ class WsDataStreamServer(DataStreamServer):
         from .websocket import WsByteReader, WsByteWriter, server_handshake
 
         await server_handshake(reader, writer)
-        return WsByteReader(reader, writer), WsByteWriter(writer)
+        # server side: RFC 6455 requires client->server data frames to be
+        # masked; unmasked ones are rejected with close 1002
+        return (
+            WsByteReader(reader, writer, require_masked=True),
+            WsByteWriter(writer),
+        )
 
 
 class SyncReader:

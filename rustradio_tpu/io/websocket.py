@@ -105,9 +105,19 @@ def encode_frame(payload: bytes, opcode: int = OP_BINARY, mask: bool = False) ->
     return hdr + key + masked
 
 
-async def read_frame(reader) -> tuple[int, bytes]:
+# Frames larger than this are a protocol violation: DATA_STREAM packets
+# cap at 64 MiB (io/data_stream.py, spec DATA_STREAM.md) and our writers
+# emit one packet per frame, so anything bigger is hostile input — the
+# attacker-controlled 64-bit length must never commit us to buffering an
+# arbitrarily large payload.
+MAX_FRAME = (64 << 20) + 1024
+
+
+async def read_frame(reader, *, require_masked: bool = False) -> tuple[int, bytes]:
     """One complete frame -> (opcode, unmasked payload).  Raises
-    IncompleteReadError at EOF."""
+    IncompleteReadError at EOF, WsError on oversize frames or (with
+    ``require_masked``, the server side) on unmasked client frames,
+    which RFC 6455 5.1 requires rejecting."""
     b0, b1 = await reader.readexactly(2)
     opcode = b0 & 0x0F
     masked = bool(b1 & 0x80)
@@ -116,6 +126,10 @@ async def read_frame(reader) -> tuple[int, bytes]:
         (n,) = struct.unpack("!H", await reader.readexactly(2))
     elif n == 127:
         (n,) = struct.unpack("!Q", await reader.readexactly(8))
+    if n > MAX_FRAME:
+        raise WsError(f"frame length {n} exceeds cap {MAX_FRAME}")
+    if require_masked and not masked and opcode in (OP_BINARY, OP_TEXT, OP_CONT):
+        raise WsError("unmasked client data frame (RFC 6455 5.1)")
     key = await reader.readexactly(4) if masked else None
     payload = await reader.readexactly(n) if n else b""
     if key:
@@ -158,17 +172,35 @@ class WsByteReader:
     data_stream.AsyncReader sees a clean end-of-stream).
     """
 
-    def __init__(self, reader, writer=None, mask_replies: bool = False):
+    def __init__(self, reader, writer=None, mask_replies: bool = False,
+                 require_masked: bool = False):
         self._r = reader
         self._w = writer
         self._mask = mask_replies
+        self._require_masked = require_masked
         self._buf = bytearray()
         self._eof = False
 
     async def _fill(self) -> bool:
         while True:
             try:
-                opcode, payload = await read_frame(self._r)
+                opcode, payload = await read_frame(
+                    self._r, require_masked=self._require_masked
+                )
+            except WsError:
+                # protocol violation (oversize frame / unmasked client
+                # data): close 1002 and end the stream
+                if self._w is not None:
+                    try:
+                        self._w.write(
+                            encode_frame(struct.pack("!H", 1002), OP_CLOSE,
+                                         self._mask)
+                        )
+                        await self._w.drain()
+                    except (ConnectionError, OSError):
+                        pass
+                self._eof = True
+                return False
             except (asyncio.IncompleteReadError, ConnectionError, OSError):
                 self._eof = True
                 return False

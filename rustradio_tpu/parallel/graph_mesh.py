@@ -225,8 +225,19 @@ class MeshSegment:
     def carries_to_states(self, carries, consumed: int) -> dict:
         """Convert carried tails into the members' streaming states (for
         the per-chunk fallback path and the EOF flush), given ``consumed``
-        = true samples fed to the segment so far."""
-        states = {}
+        = true samples fed to the segment so far.
+
+        Device-domain conversions run under ONE jit: shard_state/
+        init_state implementations slice and build complex arrays, and
+        eager complex ops raise UNIMPLEMENTED on the axon TPU transport
+        (same reason _run_stream_inner jits init_state).  Host-state
+        blocks (jit_chunk=False, e.g. RationalResampler's Python-int
+        offsets) convert eagerly so their states stay host values.
+        """
+        import jax
+
+        seen = {}  # (node_idx, kind) for the jitted builder
+        eager = {}
         for n in self.nodes:
             key = (n.inputs[0].node.idx, n.inputs[0].index)
             # true samples the member has seen = the streaming totals of
@@ -234,10 +245,25 @@ class MeshSegment:
             # upstream emits fewer samples than the mesh grid)
             c_m = self.totals[key](consumed)
             h = self.plans[n.idx].halo
-            if not h:
-                states[n.idx] = n.block.init_state()
+            if not n.block.jit_chunk:
+                eager[n.idx] = (
+                    n.block.shard_state(carries.get(n.idx), c_m)
+                    if h
+                    else n.block.shard_state(None, c_m)
+                )
             else:
-                states[n.idx] = n.block.shard_state(carries[n.idx], c_m)
+                seen[n.idx] = (n.block, h, c_m)
+        if not seen:
+            return eager
+
+        def build(car):
+            return {
+                i: (b.shard_state(car[i], c_m) if h else b.init_state())
+                for i, (b, h, c_m) in seen.items()
+            }
+
+        states = dict(jax.jit(build)(carries))
+        states.update(eager)
         return states
 
     # ---- the compiled program ----

@@ -110,3 +110,43 @@ def test_ws_rejects_plain_http():
         await srv.close()
 
     asyncio.run(asyncio.wait_for(go(), timeout=20))
+
+
+def test_read_frame_rejects_oversize_length():
+    # a hostile 64-bit length must not commit the reader to buffering it
+    import struct
+
+    hdr = struct.pack("!BBQ", 0x80 | ws.OP_BINARY, 127, ws.MAX_FRAME + 1)
+
+    async def go():
+        reader = asyncio.StreamReader()
+        reader.feed_data(hdr)
+        with pytest.raises(ws.WsError):
+            await ws.read_frame(reader)
+
+    asyncio.run(asyncio.wait_for(go(), timeout=10))
+
+
+def test_server_rejects_unmasked_client_data_frame():
+    # RFC 6455 5.1: the server MUST reject unmasked client data frames
+    # (close 1002); control frames and our own masked client path are
+    # unaffected (the e2e tests above exercise that).
+    async def go():
+        srv = ds.WsDataStreamServer(lambda p, n: b"\0" * n, packet_bytes=128)
+        _, port = await srv.serve()
+        reader, writer = await asyncio.open_connection("127.0.0.1", port)
+        await ws.client_handshake(reader, writer, "127.0.0.1")
+        writer.write(ws.encode_frame(b"\1\0\0\0\0", ws.OP_BINARY, mask=False))
+        await writer.drain()
+        # the server may push its version packet before reading; skip to
+        # the close frame its reader sends on the violation
+        while True:
+            op, payload = await asyncio.wait_for(ws.read_frame(reader),
+                                                 timeout=10)
+            if op == ws.OP_CLOSE:
+                break
+        assert payload[:2] == (1002).to_bytes(2, "big")
+        writer.close()
+        await srv.close()
+
+    asyncio.run(asyncio.wait_for(go(), timeout=20))
