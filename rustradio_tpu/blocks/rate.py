@@ -55,6 +55,59 @@ class RationalResampler(Block):
 
         return "pallas" if _on_tpu() else None
 
+    def shard_fn(self, di):
+        """Mesh plan (closes the r4 verdict's mtgraph gap): the counter
+        algorithm's output position is a pure function of the global
+        input offset (reference src/rational_resampler.rs:183-198 — the
+        counter evolves linearly), so a shard's outputs are one gather.
+
+        With the local input length divisible by ``deci`` (div), the
+        output count is exactly ``L*interp/deci`` regardless of offset.
+        For TRUE-stream input offset a, output k maps to input
+        floor(k*deci/interp); the shard's first output is
+        k0 = ceil(a*interp/deci).  The ``di`` garbage samples upstream
+        blocks prepend at stream start shift the mesh coordinates off
+        the true stream, so the gather anchors at a = g_in - di (folded
+        into a nonnegative mod-period offset) — otherwise the output
+        grid PHASE is wrong whenever di*interp % deci != 0.  The
+        leading floor(di*interp/deci) outputs read the garbage prefix
+        and are masked by the runner.  All index math runs on offsets
+        reduced mod interp*deci so the traced int32 products stay exact
+        (a itself can be ~2^30)."""
+        from .base import ShardFn
+
+        interp, deci = self.interp, self.deci
+        period = interp * deci
+        off = (-di) % period  # g_in + off == g_in - di (mod period), >= 0
+
+        def fn(ext, n_local, ctx):
+            rem = jax.lax.rem(jnp.asarray(ctx.g_in, jnp.int32)
+                              + jnp.int32(off),
+                              jnp.int32(period))
+            r0 = (rem * interp + (deci - 1)) // deci  # ceil(rem*I/D)
+            n_out = n_local * interp // deci
+            j = jnp.arange(n_out, dtype=jnp.int32)
+            # (r0 + j)*deci // interp - rem, with j = q*interp + s so the
+            # int32 products stay bounded by interp*period for any chunk
+            q, s = j // interp, j % interp
+            idx = q * deci + (r0 + s) * deci // interp - rem
+            return jnp.take(ext, idx, axis=0)
+
+        return ShardFn(
+            halo=0, d_out=di * interp // deci, div=deci, fn=fn
+        )
+
+    def shard_total_out(self, n):
+        return -(-n * self.interp // self.deci)
+
+    def shard_state(self, tail, consumed):
+        # position-dependent host state: rebuild the offsets from the
+        # global consumed count (mesh demotion / EOF conversion)
+        return {
+            "in_off": int(consumed),
+            "out_off": -(-int(consumed) * self.interp // self.deci),
+        }
+
     def apply(self, x):
         return ops.rational_resampler(x, self.interp, self.deci)
 

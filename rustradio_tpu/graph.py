@@ -245,10 +245,20 @@ class Graph:
     def _mesh_eligible(self, n: Node) -> bool:
         """Can this block join a sharded (mesh) segment?  Requires a
         shard plan (Block.shard_fn) and no end-of-stream flush hook (the
-        sharded form cannot reproduce a drain exactly through padding)."""
+        sharded form cannot reproduce a drain exactly through padding).
+
+        Unlike plain fusion this does NOT require ``jit_chunk``: a block
+        whose *streaming chunk* form needs host integers (e.g.
+        RationalResampler's offset counters) can still shard — its
+        shard_fn is pure traced math.  Demoted chunks then run the
+        segment per-member (_run_members_chunk) instead of as one fused
+        program."""
         b = n.block
         return (
-            self._fusable(n)
+            b.domain == "device"
+            and b.n_out > 0
+            and not isinstance(b, SourceBlock)
+            and not hasattr(b, "set_tags")
             and not hasattr(b, "flush")
             and not hasattr(b, "flush_with_state")
             and b.shard_fn(0) is not None
@@ -284,16 +294,28 @@ class Graph:
                     segs[cur[0].idx] = list(cur)
                     plans[cur[0].idx] = plan
                     return
-            if len(cur) > 1:
-                segs[cur[0].idx] = list(cur)
+            # not sharded after all: fall back to plain fused runs of the
+            # jit-capable members (a mesh-eligible-but-not-jit_chunk
+            # member, e.g. RationalResampler, cannot join a fused
+            # program — split around it)
+            run: list[Node] = []
+            for n in cur:
+                if self._fusable(n):
+                    run.append(n)
+                else:
+                    if len(run) > 1:
+                        segs[run[0].idx] = list(run)
+                    run = []
+            if len(run) > 1:
+                segs[run[0].idx] = list(run)
 
         cur: list[Node] = []
         cur_group: str | None = None
         cur_mesh = False
         for n in self._topo():
-            if self._fusable(n):
+            m = self._mesh_eligible(n)
+            if self._fusable(n) or m:
                 g = getattr(n.block, "compile_group", None)
-                m = self._mesh_eligible(n)
                 if cur and (m != cur_mesh or (g and cur_group and g != cur_group)):
                     close(cur, cur_mesh)
                     cur, cur_group = [], None
@@ -575,6 +597,35 @@ class Graph:
                 tags[(nd.idx, i)] = ot
         return {"tails": new_tails,
                 "consumed": consumed + (true_len if true_len is not None else n)}
+
+    def _run_members_chunk(self, seg, values, tags, states) -> None:
+        """Streaming execution of a segment's members one block at a time
+        (used when a demoted mesh segment contains a host-state member,
+        e.g. RationalResampler, that cannot join one fused jit program).
+        Fills values/tags for every member port and updates states."""
+        for node in seg:
+            b = node.block
+            keys = [(p.node.idx, p.index) for p in node.inputs]
+            xs = [values[k] for k in keys]
+            in_tags = [tags.get(k, []) for k in keys]
+            t0 = time.perf_counter()
+            with self._annotate(b.name()):
+                if b.jit_chunk:
+                    fn = self._device_call(node, "apply_chunk")
+                    st_in = states[node.idx]
+                    states[node.idx], out = fn(st_in, *xs)
+                    self._record_cost(node.idx, fn, (st_in, *xs))
+                else:
+                    states[node.idx], out = b.apply_chunk(states[node.idx], *xs)
+            self._stats[node.idx] = self._stats.get(node.idx, 0.0) + (
+                time.perf_counter() - t0
+            )
+            outs = out if isinstance(out, tuple) else (out,)
+            out_lens = [len(o) if hasattr(o, "__len__") else 0 for o in outs]
+            otags = b.process_tags(in_tags, out_lens)
+            for i, (o, ot) in enumerate(zip(outs, otags)):
+                values[(node.idx, i)] = o
+                tags[(node.idx, i)] = ot
 
     @staticmethod
     def _cat_outputs(a, b):
@@ -934,9 +985,18 @@ class Graph:
                                 states.update(ms.carries_to_states(
                                     mst["tails"], int(mst["consumed"])))
                             states[mkey] = {"demoted": True}
-                        states.update(
-                            self._run_segment(segs[seg_first], values, tags, states=states)
-                        )
+                        if all(m.block.jit_chunk for m in segs[seg_first]):
+                            states.update(
+                                self._run_segment(
+                                    segs[seg_first], values, tags, states=states
+                                )
+                            )
+                        else:
+                            # a host-state member cannot join one fused
+                            # program: run the members one at a time
+                            self._run_members_chunk(
+                                segs[seg_first], values, tags, states
+                            )
                     continue
                 if isinstance(b, SourceBlock):
                     t0 = time.perf_counter()
@@ -1200,6 +1260,35 @@ class Graph:
                             for i, pp in enumerate(per_port):
                                 tags[(nd.idx, i)] = pp
                         continue
+            if seg_first is not None and not all(
+                m.block.jit_chunk for m in segs[seg_first]
+            ):
+                # demoted mesh segment with a host-state member: run the
+                # members one block at a time, chunk by chunk (the fused
+                # scan/per-chunk programs below would trace the host
+                # chunk logic)
+                seg = segs[seg_first]
+                ext_in_m, _ = self._segment_io(seg)
+                coll: dict[tuple[int, int], list] = {}
+                coll_tags: dict[tuple[int, int], list] = {}
+                for bi in range(nb):
+                    vals_bi = {k: chunk_of(k, bi, "device") for k in ext_in_m}
+                    tags_bi = {
+                        k: tags.get(k, [[] for _ in range(nb)])[bi]
+                        for k in ext_in_m
+                    }
+                    self._run_members_chunk(seg, vals_bi, tags_bi, states)
+                    for m in seg:
+                        for i in range(max(m.block.n_out, 1)):
+                            key = (m.idx, i)
+                            coll.setdefault(key, []).append(vals_bi.get(key))
+                            coll_tags.setdefault(key, []).append(
+                                tags_bi.get(key, [])
+                            )
+                for key in coll:
+                    values[key] = coll[key]
+                    tags[key] = coll_tags[key]
+                continue
             if seg_first is not None:
                 seg = segs[seg_first]
                 _, _, raw = self._segment_raw(seg, True)

