@@ -25,7 +25,9 @@ class NrziDecode(Block):
     def apply_chunk(self, state, x):
         x = jnp.asarray(x, jnp.uint8)
         y = ops.nrzi_decode(x, last=state)
-        return x[-1], y
+        # a data-dependent upstream (e.g. clock recovery) can emit an
+        # empty chunk; keep the carried bit rather than index into it
+        return (state if x.shape[0] == 0 else x[-1]), y
 
 
 class NrziEncode(Block):
@@ -37,7 +39,7 @@ class NrziEncode(Block):
 
     def apply_chunk(self, state, x):
         y = ops.nrzi_encode(x, out0=state)
-        return y[-1], y
+        return (state if y.shape[0] == 0 else y[-1]), y
 
 
 class Descrambler(Block):
@@ -163,17 +165,58 @@ class SymbolSync(Block):
     Output length is data-dependent: the device scan produces a masked
     stream that is compacted at the host boundary, so this is a host-domain
     block whose inner math runs jitted.
+
+    ``method``:
+
+    * ``"native"`` (default) — the sequential per-sample recurrence
+      (native C++ port when available, else the device scan); bit-exact
+      reference parity.
+    * ``"events"`` — the event-driven device form
+      (ops.symbol_sync.symbol_sync_events): the sequential chain scans
+      zero CROSSINGS instead of samples (~sps-times shorter), the
+      decode-bank headline path, now first-class in the block API.
+      Decode-equivalent rather than bit-identical to the scan; chunked
+      output is exactly the block's own whole-stream output.  The event
+      budget auto-sizes from ``sps`` (pow-2 bucketed) and doubles on
+      overflow up to the chunk length, so chattery input degrades to a
+      bigger compile instead of wrong output.
     """
 
     domain = "host"
 
-    def __init__(self, sps: float, max_deviation: float = 0.5, clock_taps=(0.5, 0.5)):
+    def __init__(self, sps: float, max_deviation: float = 0.5,
+                 clock_taps=(0.5, 0.5), method: str = "native",
+                 max_events: int | None = None):
+        if method not in ("native", "events"):
+            raise ValueError(f"unknown method {method!r}; use 'native' or 'events'")
         self.sps = sps
         self.max_deviation = max_deviation
         self.clock_taps = tuple(clock_taps)
+        self.method = method
+        self.max_events = max_events
 
     def init_state(self):
         return {"sync": None}
+
+    def _default_budget(self, n: int) -> int:
+        want = max(64, int(4 * n / self.sps))
+        return min(1 << (want - 1).bit_length(), max(8, n // 4))
+
+    def _run_events(self, x, state):
+        x = np.asarray(x, np.float32)
+        n = len(x)
+        if n == 0:
+            return jnp.zeros(0, jnp.float32), state
+        budget = self.max_events or self._default_budget(n)
+        while True:
+            (vals, mask, _), valid, new_state = ops.symbol_sync_events(
+                x, self.sps, self.max_deviation, self.clock_taps,
+                max_events=budget, state=state, return_state=True,
+            )
+            if bool(valid) or budget >= n:
+                break
+            budget = min(n, budget * 2)  # overflow: retry, state untouched
+        return jnp.asarray(np.asarray(vals)[np.asarray(mask)]), new_state
 
     def _run(self, x, state):
         (vals, mask, _), new_state = ops.symbol_sync(
@@ -182,6 +225,9 @@ class SymbolSync(Block):
         return jnp.asarray(np.asarray(vals)[np.asarray(mask)]), new_state
 
     def apply(self, x):
+        if self.method == "events":
+            syms, _ = self._run_events(x, None)
+            return syms
         # The native sequential kernel when available (exact f32 match,
         # ~100x the scan).
         syms = ops.recover_symbols(
@@ -193,6 +239,9 @@ class SymbolSync(Block):
         from .. import native
 
         prev = state["sync"] if state else None
+        if self.method == "events":
+            syms, new = self._run_events(x, prev)
+            return {"sync": new}, syms
         if native.available():
             # Native with an explicit state dict (same keys as the scan's
             # carry, so checkpoints interoperate between backends).

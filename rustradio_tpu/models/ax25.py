@@ -204,6 +204,7 @@ def ax25_1200_rx_graph(
     symbol_max_deviation: float = 0.5,
     keep_checksum: bool = False,
     band: tuple | None = (400.0, 2700.0),
+    sync: str = "native",
 ) -> list[bytes]:
     """The same receiver as :func:`ax25_1200_rx`, built as a BLOCK
     flowgraph and run through the Graph runners.
@@ -216,7 +217,10 @@ def ax25_1200_rx_graph(
     shard_map program with the sample axis sharded over the mesh and
     filter halos exchanged via ppermute, while the sequential tail
     (clock recovery, NRZI, HDLC) runs on the host.  ``chunk_size``
-    selects streaming mode.  Returns the decoded payloads as bytes.
+    selects streaming mode.  ``sync="events"`` swaps clock recovery to
+    the event-driven device form (blocks.SymbolSync method="events" —
+    the 11x decode-bank path, first-class in the block API since r5).
+    Returns the decoded payloads as bytes.
     """
     from .. import blocks
     from ..graph import Graph
@@ -239,7 +243,8 @@ def ax25_1200_rx_graph(
         blocks.FftFilterFloat(lp),
         blocks.AddConst(-np.float32(2.0 * np.pi * 1700.0 / samp_rate)),
         blocks.SymbolSync(
-            float(samp_rate) / 1200.0, symbol_max_deviation, tuple(symbol_taps)
+            float(samp_rate) / 1200.0, symbol_max_deviation,
+            tuple(symbol_taps), method=sync if sync == "events" else "native",
         ),
         blocks.BinarySlicer(),
         blocks.NrziDecode(),

@@ -169,7 +169,7 @@ def _ted_reduce(t0_raw, clock, mx):
 
 def symbol_sync_events(x, sps: float, max_deviation: float = 0.5,
                        clock_taps=(0.5, 0.5), max_events: int | None = None,
-                       unroll: int = 8):
+                       unroll: int = 8, state=None, return_state: bool = False):
     """Event-driven reformulation of :func:`symbol_sync` — the TPU-native
     decode-bank path.
 
@@ -198,8 +198,14 @@ def symbol_sync_events(x, sps: float, max_deviation: float = 0.5,
     then untrustworthy; re-run with a bigger budget or fall back).
     ``max_events`` defaults to ~4x the expected crossing count for NRZ
     at ``sps`` (pow-2 bucketed so nearby lengths share compiles, capped
-    at N//4); pass it explicitly for chattery input.  No streaming
-    state — whole-burst use (the decode-bank case).
+    at N//4); pass it explicitly for chattery input.
+
+    Streaming (r5, the blocks.SymbolSync(method="events") path): pass
+    the previous chunk's carried ``state`` and/or ``return_state=True``
+    to get ``((values, mask, clocks), valid, new_state)``.  All carried
+    positions are event-relative integers shifted per chunk, so chunked
+    output is EXACTLY the whole-burst output (asserted in
+    tests/test_multichannel.py) for gaps up to f32-exact 2^24 samples.
     """
     if not sps > 1.0:
         raise ValueError("sps must be > 1")
@@ -216,8 +222,15 @@ def symbol_sync_events(x, sps: float, max_deviation: float = 0.5,
     tap0 = F(taps[0])
     fb = jnp.asarray(taps[1:], F)
 
+    if state is None:
+        last_sign0 = jnp.asarray(False)
+        started0 = jnp.asarray(False)
+    else:
+        last_sign0 = state["last_sign"]
+        started0 = state["started"]
+
     sign = x > F(0.0)
-    changed = jnp.concatenate([sign[:1], sign[1:] != sign[:-1]])
+    changed = jnp.concatenate([sign[:1] != last_sign0, sign[1:] != sign[:-1]])
     events = jnp.flatnonzero(changed, size=max_events, fill_value=n)
     valid = jnp.sum(changed) <= max_events
 
@@ -248,7 +261,9 @@ def symbol_sync_events(x, sps: float, max_deviation: float = 0.5,
         t0_raw = gap + s["bnd_off"]
         t = _ted_reduce(t0_raw, s["clock"], mx)
         in_range = (t > mi * F(0.8)) & (t < mx * F(1.2))
-        do_adjust = (p > 0) & s["have_boundary"]
+        # the reference's stream_pos > 0 guard: local index 0 is the
+        # global stream start only on the first chunk
+        do_adjust = (started0 | (p > 0)) & s["have_boundary"]
         apply = do_adjust & in_range & ~is_pad
 
         fbuf2, filt = clock_filter(s["fbuf"], t - sps32)
@@ -270,28 +285,34 @@ def symbol_sync_events(x, sps: float, max_deviation: float = 0.5,
             p_prev=jnp.where(is_pad, s["p_prev"], p),
             mid_off=jnp.where(is_pad, s["mid_off"], mid_off),
             bnd_off=jnp.where(is_pad, s["bnd_off"], F(0.0)),
-            have_boundary=jnp.where(is_pad, s["have_boundary"], p > 0),
+            have_boundary=jnp.where(is_pad, s["have_boundary"],
+                                    started0 | (p > 0)),
             fbuf=jnp.where(is_pad, s["fbuf"], fbuf),
         )
         return s2, (s2["mid_off"], s2["clock"])
 
-    state0 = dict(
-        clock=sps32,
-        p_prev=jnp.int32(-1),
-        mid_off=sps32 / F(2.0) + F(1.0),  # mid = sps/2, rel p_prev = -1
-        bnd_off=F(1.0),                   # last_boundary = 0, rel -1
-        have_boundary=jnp.asarray(False),
-        fbuf=jnp.full((max(order, 1),), sps32, F),
-    )
-    _, (ev_mid, ev_clock) = jax.lax.scan(
+    if state is None:
+        state0 = dict(
+            clock=sps32,
+            p_prev=jnp.int32(-1),
+            mid_off=sps32 / F(2.0) + F(1.0),  # mid = sps/2, rel p_prev = -1
+            bnd_off=F(1.0),                   # last_boundary = 0, rel -1
+            have_boundary=jnp.asarray(False),
+            fbuf=jnp.full((max(order, 1),), sps32, F),
+        )
+    else:
+        state0 = state["ev"]
+    final, (ev_mid, ev_clock) = jax.lax.scan(
         event_step, state0, events.astype(jnp.int32), unroll=unroll
     )
 
     # ---- vectorized emission mask over all samples ------------------
-    p_tab = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+    p_tab = jnp.concatenate([jnp.asarray(state0["p_prev"], jnp.int32)[None],
                              events.astype(jnp.int32)])
-    mid_tab = jnp.concatenate([state0["mid_off"][None], ev_mid])
-    clk_tab = jnp.concatenate([state0["clock"][None], ev_clock])
+    mid_tab = jnp.concatenate([jnp.asarray(state0["mid_off"], F)[None],
+                               ev_mid])
+    clk_tab = jnp.concatenate([jnp.asarray(state0["clock"], F)[None],
+                               ev_clock])
     eid = jnp.cumsum(changed.astype(jnp.int32)) - changed.astype(jnp.int32)
     p_k = jnp.take(p_tab, eid)
     mid_k = jnp.take(mid_tab, eid)
@@ -306,7 +327,15 @@ def symbol_sync_events(x, sps: float, max_deviation: float = 0.5,
     e_n = e_of(rel, ns - p_k)
     e_nm1 = e_of(rel - F(1.0), ns - p_k - 1)
     mask = e_n > e_nm1
-    return (x, mask, clk_k), valid
+    if state is None and not return_state:
+        return (x, mask, clk_k), valid
+    new_state = dict(
+        # event-scan carry, re-anchored to the next chunk's origin
+        ev=dict(final, p_prev=final["p_prev"] - jnp.int32(n)),
+        last_sign=sign[-1] if n else last_sign0,
+        started=jnp.asarray(True) if n else started0,
+    )
+    return (x, mask, clk_k), valid, new_state
 
 
 def zero_crossing_sync(x, sps: float, max_deviation: float = 0.5, state=None,

@@ -33,6 +33,8 @@ import pytest  # noqa: E402
 
 _SLOW_TESTS = {
     "test_symbol_sync_events_fuzz_params",
+    "test_symbol_sync_events_block_stream_equals_offline",
+    "test_ax25_graph_events_sync_decodes",
     "test_wpcr_batch_equals_eager",
     "test_sharded_symbol_sync_bank",
     "test_iq_balance_removes_dc",

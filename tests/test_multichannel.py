@@ -294,3 +294,63 @@ def test_scanner_decode_flag(tmp_path, capsys, sync):
     # AX.25 address block, so only the channel line format is stable)
     assert "ch   2" in cap.out
     assert "decoded 1 packets on 1 channels" in cap.err
+
+
+def test_symbol_sync_events_block_stream_equals_offline():
+    # blocks.SymbolSync(method="events") (r5): chunked output through the
+    # block's carried state is EXACTLY the block's own whole-stream
+    # output, across chunk sizes that split events and long gaps.
+    from rustradio_tpu import blocks
+
+    rng = np.random.RandomState(11)
+    sps = 12.6
+    n = 24000
+    bits = rng.randint(0, 2, int(n / sps) + 2) * 2.0 - 1.0
+    x = np.repeat(bits, int(np.ceil(sps)))[:n].astype(np.float32)
+    x += 0.2 * rng.randn(n).astype(np.float32)
+    # a long crossing-free gap spanning a chunk boundary
+    x[9000:11000] = 0.7
+
+    blk = blocks.SymbolSync(sps, 0.5, (0.5, 0.5), method="events")
+    want = np.asarray(blk.apply(x))
+    assert len(want) > 100
+    for chunk in (5000, 7001, 24000):
+        st = blk.init_state()
+        outs = []
+        for i in range(0, n, chunk):
+            st, y = blk.apply_chunk(st, x[i : i + chunk])
+            outs.append(np.asarray(y))
+        got = np.concatenate(outs)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_symbol_sync_events_block_budget_overflow_retries():
+    # chattery input overflowing the auto budget: the block retries with
+    # a doubled budget instead of emitting untrustworthy output
+    from rustradio_tpu import blocks
+
+    rng = np.random.RandomState(12)
+    x = rng.randn(4096).astype(np.float32)  # ~50% crossings
+    blk = blocks.SymbolSync(8.0, 0.5, (0.5, 0.5), method="events",
+                            max_events=16)
+    syms = np.asarray(blk.apply(x))
+    ref = np.asarray(
+        blocks.SymbolSync(8.0, 0.5, (0.5, 0.5), method="events").apply(x)
+    )
+    np.testing.assert_array_equal(syms, ref)
+
+
+def test_ax25_graph_events_sync_decodes():
+    # the Graph-built receiver with sync="events" (the 11x path as a
+    # first-class block) decodes the synthetic packets, offline and
+    # streaming
+    from rustradio_tpu.models.ax25 import ax25_1200_rx_graph
+    from tests.test_models import make_afsk
+
+    payloads = [b"EVENTS BLOCK GRAPH ONE", b"EVENTS BLOCK GRAPH TWO"]
+    audio = np.concatenate([make_afsk(p, fs=24000.0) for p in payloads])
+    got = ax25_1200_rx_graph(audio, 24000.0, sync="events")
+    assert got == payloads
+    got_s = ax25_1200_rx_graph(audio, 24000.0, sync="events",
+                               chunk_size=len(audio) // 3)
+    assert got_s == payloads
