@@ -34,10 +34,17 @@ class FirFilter(Block):
     Optional fused frequency translation (reference src/fir.rs:413-483).
     """
 
-    def __init__(self, taps, deci: int = 1, translate: tuple[float, float] | None = None):
+    def __init__(self, taps, deci: int = 1, translate: tuple[float, float] | None = None,
+                 precision: str = "highest"):
         self.taps = np.asarray(taps)
         self.deci = deci
         self.translate = translate
+        # Banded-kernel precision mode used when the TPU segment lowering
+        # fuses this filter into pallas_fm_chain (see lowering.py and the
+        # kernel's precision table — "w3"/"i8" are exact only for
+        # 8-bit-sourced wire grids).  Non-lowered paths always run the
+        # f32-exact HIGHEST form.
+        self.precision = precision
 
     @property
     def compile_group(self):

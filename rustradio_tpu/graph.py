@@ -396,9 +396,45 @@ class Graph:
 
         ext_in, ext_out = self._segment_io(seg)
 
+        # TPU lowering: FM-shaped runs ([FloatToComplex ->] FirFilter ->
+        # QuadratureDemod) execute as ONE fused Pallas kernel
+        # (ops.pallas_fm_chain) instead of separate kernels with HBM
+        # round-trips — the reference's flagship numbers come from plain
+        # block composition (examples/ax25-1200-rx.rs:191-336); so do ours.
+        from .ops.pallas_kernels import _on_tpu
+
+        fm_plans, fm_consumed = {}, set()
+        if _on_tpu():
+            from .lowering import find_fm_pairs
+
+            fm_plans, fm_consumed = find_fm_pairs(seg, set(ext_out))
+
         def run_body(vals, states):
             new_states = {}
             for n in seg:
+                if n.idx in fm_plans:
+                    plan = fm_plans[n.idx]
+                    lead = plan["f2c"] or plan["fir"]
+                    xs = [vals[(p.node.idx, p.index)] for p in lead.inputs]
+                    if streaming:
+                        from .lowering import fused_fm_chunk
+
+                        new_fir, new_quad, out = fused_fm_chunk(
+                            plan, states[plan["fir"].idx],
+                            states[plan["quad"].idx], *xs,
+                        )
+                        new_states[plan["fir"].idx] = new_fir
+                        new_states[plan["quad"].idx] = new_quad
+                        if plan["f2c"] is not None:
+                            new_states[plan["f2c"].idx] = states[plan["f2c"].idx]
+                    else:
+                        from .lowering import fused_fm_apply
+
+                        out = fused_fm_apply(plan, *xs)
+                    vals[(n.idx, 0)] = out
+                    continue
+                if n.idx in fm_consumed:
+                    continue  # executed by the fused node above
                 xs = [vals[(p.node.idx, p.index)] for p in n.inputs]
                 if streaming:
                     new_states[n.idx], out = n.block.apply_chunk(states[n.idx], *xs)

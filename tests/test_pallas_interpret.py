@@ -171,3 +171,129 @@ def test_fm_chain_db_packed_interpret(interpret_kernels, precision, atol):
                            precision=precision, pipeline="db")
     )
     np.testing.assert_allclose(got2, want, atol=atol)
+
+
+# ---------------------------------------------------------------- lowering
+
+def _demod_f64(y, gain):
+    d = np.conj(y[:-1].astype(np.complex128)) * y[1:].astype(np.complex128)
+    return gain * np.arctan2(d.imag, d.real)
+
+
+def _fir_valid_f64(x, taps, deci):
+    x = np.asarray(x, np.complex128)
+    t = np.asarray(taps, np.float64)
+    m = (len(x) - len(t)) // deci + 1
+    return np.stack(
+        [np.dot(t[::-1], x[k * deci : k * deci + len(t)]) for k in range(m)]
+    )
+
+
+def test_graph_fm_lowering_offline(interpret_kernels):
+    # [FloatToComplex ->] FirFilter -> QuadratureDemod lowers to ONE
+    # pallas_fm_chain call (r5 verdict item 1); output matches the f64
+    # composed chain within the kernel's documented fast-atan2 budget.
+    from rustradio_tpu import blocks
+    from rustradio_tpu.graph import Graph
+    from rustradio_tpu.lowering import find_fm_pairs
+
+    rng = np.random.RandomState(7)
+    taps = rng.randn(49).astype(np.float32) / 7
+    n = 4096
+    re = rng.randn(n).astype(np.float32)
+    im = rng.randn(n).astype(np.float32)
+    want = _demod_f64(_fir_valid_f64(re + 1j * im, taps, 4), 2.5)
+
+    # pattern A: complex stream in
+    g = Graph()
+    s = blocks.VectorSink()
+    g.chain(
+        blocks.VectorSource((re + 1j * im).astype(np.complex64)),
+        blocks.FirFilter(taps, deci=4),
+        blocks.QuadratureDemod(2.5),
+        s,
+    )
+    seg = list(g._segments().values())[0]
+    plans, consumed = find_fm_pairs(seg, set())
+    assert len(plans) == 1 and len(consumed) == 2
+    g.run()
+    got = np.asarray(s.data())
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+    # pattern B: planes in, the complex stream never materializes
+    g = Graph()
+    s = blocks.VectorSink()
+    src_r = g.add(blocks.VectorSource(re))
+    src_i = g.add(blocks.VectorSource(im))
+    f2c = g.add(blocks.FloatToComplex(), src_r, src_i)
+    fir = g.add(blocks.FirFilter(taps, deci=4), f2c)
+    q = g.add(blocks.QuadratureDemod(2.5), fir)
+    g.add(s, q)
+    seg = list(g._segments().values())[0]
+    plans, consumed = find_fm_pairs(seg, set())
+    assert len(plans) == 1 and len(consumed) == 3
+    assert next(iter(plans.values()))["f2c"] is not None
+    g.run()
+    got = np.asarray(s.data())
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_graph_fm_lowering_streaming_equals_offline(interpret_kernels):
+    # chunked lowered execution over the ORIGINAL blocks' states matches
+    # the lowered offline stream (seam samples recomputed by full-window
+    # dots differ from the in-kernel banded accumulation by <1e-5)
+    from rustradio_tpu import blocks
+    from rustradio_tpu.graph import Graph
+
+    rng = np.random.RandomState(8)
+    taps = rng.randn(49).astype(np.float32) / 7
+    n = 6000
+    data = (rng.randn(n) + 1j * rng.randn(n)).astype(np.complex64)
+
+    def build(sink):
+        g = Graph()
+        g.chain(
+            blocks.VectorSource(data),
+            blocks.FirFilter(taps, deci=4),
+            blocks.QuadratureDemod(1.0),
+            sink,
+        )
+        return g
+
+    s0 = blocks.VectorSink()
+    build(s0).run()
+    want = np.asarray(s0.data())
+    for chunk in (2048, 1900):
+        s = blocks.VectorSink()
+        build(s).run_stream(chunk_size=chunk)
+        got = np.asarray(s.data())
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_graph_fm_lowering_skips_tee_consumer(interpret_kernels):
+    # a mid-pattern consumer (Tee on the filtered stream) blocks the
+    # lowering; the composed path still runs and stays correct
+    from rustradio_tpu import blocks
+    from rustradio_tpu.graph import Graph
+    from rustradio_tpu.lowering import find_fm_pairs
+
+    rng = np.random.RandomState(9)
+    taps = rng.randn(33).astype(np.float32) / 5
+    data = (rng.randn(3000) + 1j * rng.randn(3000)).astype(np.complex64)
+    g = Graph()
+    s1, s2 = blocks.VectorSink(), blocks.VectorSink()
+    src = g.add(blocks.VectorSource(data))
+    fir = g.add(blocks.FirFilter(taps, deci=2), src)
+    tee = g.add(blocks.Tee(), fir)
+    q = g.add(blocks.QuadratureDemod(1.0), tee[0])
+    g.add(s1, q)
+    g.add(blocks.ComplexToMag2(), tee[1])
+    g.add(s2, g.nodes[-1])
+    for seg in g._segments().values():
+        plans, _ = find_fm_pairs(seg, set())
+        assert plans == {}
+    g.run()
+    want = _demod_f64(_fir_valid_f64(data, taps, 2), 1.0)
+    np.testing.assert_allclose(np.asarray(s1.data()), want, atol=3e-4)
