@@ -12,6 +12,7 @@ from .sources import (
     ConstantSource,
     FileSource,
     NoiseSource,
+    PackedIqRingSource,
     SignalSourceComplex,
     SignalSourceFloat,
     VectorSource,
@@ -19,6 +20,7 @@ from .sources import (
 from .sinks import (
     DebugFilter,
     DebugSink,
+    DeviceFoldSink,
     FileSink,
     NullSink,
     PduFileSink,

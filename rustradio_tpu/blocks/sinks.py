@@ -47,6 +47,47 @@ class NullSink(Block):
         return ()
 
 
+class DeviceFoldSink(Block):
+    """Device-side reducing sink for ``Graph.compile_device_loop``:
+    folds every chunk into a carried scalar/pytree with a traceable
+    function, so per-sample output never leaves the device inside the
+    compiled loop.  Default fold: running sum of the real part.
+
+    Under the ordinary runners it accumulates the same reduction on the
+    host (``total()``), so a graph using it stays runnable everywhere.
+    """
+
+    n_out = 0
+    domain = "host"
+
+    def __init__(self, fn=None, init: float = 0.0):
+        self._fn = fn
+        self._init = float(init)
+        self._total = float(init)
+
+    # ---- device loop protocol ----
+    def fold_init(self):
+        import jax.numpy as jnp
+
+        return jnp.float32(self._init)
+
+    def fold(self, carry, *xs):
+        import jax.numpy as jnp
+
+        if self._fn is not None:
+            return self._fn(carry, *xs)
+        return carry + jnp.sum(jnp.real(xs[0])).astype(jnp.float32)
+
+    # ---- ordinary runners ----
+    def apply(self, x):
+        if self._fn is None:
+            self._total += float(np.sum(np.real(np.asarray(x))))
+        return ()
+
+    def total(self) -> float:
+        return self._total
+
+
 def _debug_print(x, limit: int, tag: str) -> None:
     arr = np.asarray(x)
     for v in arr[:limit]:

@@ -1520,6 +1520,134 @@ class Graph:
                     values[(node.idx, i)] = per_port[i]
                     tags[(node.idx, i)] = per_port_tags[i]
 
+    # ---- device-resident streaming ----
+    def compile_device_loop(self, chunk_size: int, n_chunks: int):
+        """Compile the WHOLE streaming run into ONE jitted device program.
+
+        The per-chunk runners dispatch each chunk (and each host block)
+        from Python — dominated by dispatch latency on a remote-tunneled
+        accelerator.  This runner instead traces ``n_chunks`` iterations
+        of {source emit -> fused segments -> sink fold} into a single
+        ``lax.scan`` program: zero host round-trips inside the loop, so
+        a Graph-BUILT chain runs at kernel rate (the r5 device-resident
+        framework benchmark; reference analog is the single hot
+        ``Graph::run`` loop, src/graph.rs:99-173, with no allocation or
+        locking inside).
+
+        Requirements (raises ValueError otherwise):
+
+        * every source defines ``emit_traced(offset, n)`` — a
+          jax-traceable emit (``offset`` is a traced int32 scalar);
+        * every sink (n_out == 0) defines ``fold(carry, *chunks)`` and
+          ``fold_init()`` — a device-side reduction (e.g. a power sum);
+          per-sample sink output stays on device, in the fold;
+        * every other block is device-domain with ``jit_chunk`` and a
+          scan-invariant state after one warm-up chunk (pick
+          ``chunk_size`` divisible by the chain's decimations);
+        * tags are not processed (DSP-payload loops only).
+
+        Returns ``fn(offset0) -> {sink node idx: fold carry}`` — jitted;
+        call with different static ``n_chunks`` compiles separate
+        programs (the benchmark's dual-length timing method).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        if n_chunks < 2:
+            raise ValueError("device loop needs n_chunks >= 2")
+        segs = self._segments()
+        seg_member = self._seg_member
+        for node in self._topo():
+            b = node.block
+            if isinstance(b, SourceBlock):
+                if not hasattr(b, "emit_traced"):
+                    raise ValueError(f"{b.name()} has no emit_traced")
+            elif b.n_out == 0:
+                if not hasattr(b, "fold"):
+                    raise ValueError(f"{b.name()} has no device fold")
+            elif not (b.domain == "device" and b.jit_chunk):
+                raise ValueError(f"{b.name()} cannot join the device loop")
+        seg_raws = {first: self._segment_raw(segs[first], True) for first in segs}
+        # eager device staging BEFORE the trace (a source caching a
+        # traced constant would leak the tracer into later compiles),
+        # and resident collection: big device arrays (rings, vectors)
+        # enter the program as ARGUMENTS, never as baked-in constants —
+        # a constant-embedded ring blew the remote compile transport's
+        # request-size limit (HTTP 413, r5 measured)
+        residents: dict[int, Any] = {}
+        for node in self.nodes:
+            hook = getattr(node.block, "prepare_traced", None)
+            if hook is not None:
+                hook()
+            res = getattr(node.block, "device_resident", None)
+            if res is not None:
+                residents[node.idx] = res()
+
+        def step(states, carries, offset, res):
+            vals: dict[tuple[int, int], Any] = {}
+            new_states = dict(states)
+            new_carries = dict(carries)
+            for node in self._topo():
+                b = node.block
+                sf = seg_member.get(node.idx)
+                if sf is not None:
+                    if sf == node.idx:
+                        ext_in, ext_out, raw = seg_raws[sf]
+                        seg_states = {m.idx: states[m.idx] for m in segs[sf]}
+                        ns, outs = raw(seg_states, *[vals[k] for k in ext_in])
+                        new_states.update(ns)
+                        for k, o in zip(ext_out, outs):
+                            vals[k] = o
+                    continue
+                if isinstance(b, SourceBlock):
+                    if node.idx in res:
+                        out = b.emit_traced(offset, chunk_size,
+                                            resident=res[node.idx])
+                    else:
+                        out = b.emit_traced(offset, chunk_size)
+                    outs = out if isinstance(out, tuple) else (out,)
+                    for i, o in enumerate(outs):
+                        vals[(node.idx, i)] = o
+                    continue
+                xs = [vals[(p.node.idx, p.index)] for p in node.inputs]
+                if b.n_out == 0:
+                    new_carries[node.idx] = b.fold(carries[node.idx], *xs)
+                    continue
+                new_states[node.idx], out = b.apply_chunk(states[node.idx], *xs)
+                outs = out if isinstance(out, tuple) else (out,)
+                for i, o in enumerate(outs):
+                    vals[(node.idx, i)] = o
+            return new_states, new_carries
+
+        def fn(offset0, res):
+            states = {
+                n.idx: n.block.init_state()
+                for n in self.nodes
+                if not isinstance(n.block, SourceBlock) and n.block.n_out > 0
+            }
+            carries = {
+                n.idx: n.block.fold_init()
+                for n in self.nodes
+                if n.block.n_out == 0 and not isinstance(n.block, SourceBlock)
+            }
+            offset0 = jnp.asarray(offset0, jnp.int32)
+            # chunk 0 unrolled: fixes lazily-typed state shapes (e.g.
+            # QuadratureDemod's (0,) -> (1,) carried sample) so the scan
+            # carry is shape-invariant
+            states, carries = step(states, carries, offset0, res)
+
+            def body(sc, i):
+                return step(sc[0], sc[1], offset0 + i * chunk_size, res), None
+
+            (states, carries), _ = jax.lax.scan(
+                body, (states, carries),
+                jnp.arange(1, n_chunks, dtype=jnp.int32),
+            )
+            return carries
+
+        jfn = jax.jit(fn)
+        return lambda offset0: jfn(offset0, residents)
+
     # ---- stats ----
     def generate_stats(self) -> str:
         """Per-block elapsed-time table (reference src/graph.rs:175-257),

@@ -549,3 +549,58 @@ def test_scan_runner_composes_with_checkpoint_resume(tmp_path):
 
     got = np.concatenate([s1.data(), s2.data()])
     np.testing.assert_allclose(got, s_ref.data(), atol=1e-6)
+
+
+def test_compile_device_loop_matches_run_stream():
+    # the device-resident runner (r5): one jitted program advancing the
+    # whole graph; its fold equals the per-chunk runner's output reduced
+    # the same way, and the FM lowering shapes compose inside it
+    import jax.numpy as jnp
+
+    from rustradio_tpu import blocks
+    from rustradio_tpu.graph import Graph
+
+    rng = np.random.RandomState(21)
+    n, chunk = 32768, 4096
+    data = (rng.randn(n) + 1j * rng.randn(n)).astype(np.complex64)
+    taps = (rng.randn(49) / 7).astype(np.float32)
+
+    def build(sink):
+        g = Graph()
+        g.chain(
+            blocks.VectorSource(data),
+            blocks.FirFilter(taps, deci=4),
+            blocks.QuadratureDemod(1.0),
+            sink,
+        )
+        return g
+
+    s = blocks.VectorSink()
+    build(s).run_stream(chunk_size=chunk)
+    want = float(np.sum(np.asarray(s.data())))
+
+    sink = blocks.DeviceFoldSink()
+    fn = build(sink).compile_device_loop(chunk, n // chunk)
+    carries = fn(0)
+    got = float(list(carries.values())[0])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    # offset0 advances the source (second call, no recompile)
+    got2 = float(list(fn(chunk).values())[0])
+    assert got2 != got
+
+
+def test_compile_device_loop_rejects_host_blocks():
+    import pytest as _pytest
+
+    from rustradio_tpu import blocks
+    from rustradio_tpu.graph import Graph
+
+    g = Graph()
+    g.chain(
+        blocks.VectorSource(np.zeros(1024, np.float32)),
+        blocks.SymbolSync(8.0),
+        blocks.DeviceFoldSink(),
+    )
+    with _pytest.raises(ValueError):
+        g.compile_device_loop(256, 2)
