@@ -34,6 +34,40 @@ from __future__ import annotations
 import numpy as np
 
 
+class PackedIqChunk:
+    """One streaming chunk of a resident packed-plane ring.
+
+    A view, not data: ``pr``/``pi`` are the FULL packed I/Q planes
+    (ops.fm_plane_pack layout, written once at ingest) and ``row0`` is a
+    traced packed-row offset — one packed row is deci*128 input samples
+    and 128 outputs, so the offset addresses both grids.  The lowered FM
+    executor hands these straight to ``pallas_fm_chain_window``, whose
+    DMA reads the ring in place: the steady-state per-chunk HBM traffic
+    is exactly the kernel's own (no slice/pad/cast pass).  ``meta`` is
+    static: (deci, tile_rows, g, wlen, ntaps, n_chunk).
+    """
+
+    def __init__(self, pr, pi, row0, meta):
+        self.pr, self.pi, self.row0, self.meta = pr, pi, row0, meta
+
+    def tree_flatten(self):
+        return (self.pr, self.pi, self.row0), self.meta
+
+    @classmethod
+    def tree_unflatten(cls, meta, leaves):
+        return cls(*leaves, meta)
+
+
+def _register_packed_chunk():
+    import jax
+
+    jax.tree_util.register_pytree_node_class(PackedIqChunk)
+    return PackedIqChunk
+
+
+_register_packed_chunk()
+
+
 def _is_fm_fir(block) -> bool:
     from .blocks.filters import FirFilter
 
@@ -175,6 +209,89 @@ def fused_fm_apply(plan, *xs):
                          plan["precision"], n_fir)
 
 
+def _fused_fm_chunk_packed(plan, st_fir, st_quad, ck: PackedIqChunk):
+    """Zero-copy streaming form over a packed ring (PackedIqChunk).
+
+    The kernel computes this chunk's window of the demod grid directly
+    from the resident planes; the carried previous filtered sample seeds
+    the in-kernel demod carry (SMEM) and the window's last filtered
+    sample comes back as the new carry — no per-chunk output pass, no
+    concat/pad/cast, no seam dots.  ``st_fir`` rides through untouched
+    (history lives in the ring); ``st_quad`` keeps QuadratureDemod's
+    state convention ((0,) at stream start -> the chunk drops the
+    windows touching the zero prefix, (1,) complex after)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .ops.pallas_kernels import pallas_fm_chain_window
+
+    taps, deci, gain = plan["taps"], plan["deci"], plan["gain"]
+    ntaps = len(taps)
+    mdeci, tile_rows, g, wlen, mntaps, n_chunk = ck.meta
+    if mdeci != deci or mntaps != ntaps:
+        raise ValueError(
+            "PackedIqRingSource geometry (deci/taps) does not match the "
+            "downstream FirFilter's"
+        )
+    if (ntaps - 1) % deci:
+        raise ValueError("packed ring path needs (ntaps-1) % deci == 0")
+    prev = jnp.asarray(st_quad, jnp.complex64)
+    if prev.shape[0]:
+        seed = (jnp.real(prev[0]).astype(jnp.float32),
+                jnp.imag(prev[0]).astype(jnp.float32))
+    else:
+        seed = (jnp.float32(0.0), jnp.float32(0.0))
+    audio = pallas_fm_chain_window(
+        ck.pr, ck.pi, taps, deci, gain, row0=ck.row0, g=g,
+        tile_rows=tile_rows, precision=plan["precision"],
+        seed=jnp.stack(seed),
+    )
+    if prev.shape[0] == 0:
+        # stream start: drop the ramp (windows touching the zero
+        # prefix) and the zero-seeded first pair — the lowered valid
+        # stream starts at demod(y_valid[0], y_valid[1])
+        d0 = (ntaps - 1) // deci
+        audio = audio[d0 + 1 :]
+    # next chunk's seed: the window's LAST filtered sample, recomputed
+    # from the ring by two ntaps-dots (an in-kernel SMEM output for the
+    # carry failed Mosaic on this toolchain)
+    ylr, yli = _y_last_from_ring(ck, plan)
+    new_quad = jax.lax.complex(ylr, yli)[None]
+    return st_fir, new_quad, audio
+
+
+def _y_last_from_ring(ck: PackedIqChunk, plan):
+    """The chunk window's last filtered sample y[m_last], dotted straight
+    from the packed ring: m_last*deci sits at flat padded position
+    (row0 + g*tile_rows)*step - deci, and the window's ntaps inputs end
+    there.  i8 planes decode via x = (v+1)/128 (the exact s8 wire image,
+    ops.pallas_kernels._to_s8)."""
+    import jax
+    import jax.numpy as jnp
+
+    taps, deci = plan["taps"], plan["deci"]
+    ntaps = len(taps)
+    mdeci, tile_rows, g, wlen, _nt, _n = ck.meta
+    step = deci * 128
+    # flat window start (step-relative): position within row start_row
+    off_in_rows = step - deci + wlen - ntaps  # >= 0 (step > deci, wlen >= ntaps)
+    nrows = -(-(off_in_rows + ntaps) // step)
+    start_row = ck.row0 + g * tile_rows - 1
+
+    def window(p):
+        rows = jax.lax.dynamic_slice_in_dim(p, start_row, nrows)
+        flat = rows.reshape(-1)[off_in_rows : off_in_rows + ntaps]
+        x = flat.astype(jnp.float32)
+        if p.dtype == jnp.int8:
+            x = (x + jnp.float32(1.0)) * jnp.float32(1.0 / 128.0)
+        return x
+
+    trev = jnp.asarray(taps[::-1].copy())
+    yr = jnp.dot(window(ck.pr), trev, precision=jax.lax.Precision.HIGHEST)
+    yi = jnp.dot(window(ck.pi), trev, precision=jax.lax.Precision.HIGHEST)
+    return yr, yi
+
+
 def fused_fm_chunk(plan, st_fir, st_quad, *xs):
     """Streaming form over the ORIGINAL blocks' states.
 
@@ -186,6 +303,8 @@ def fused_fm_chunk(plan, st_fir, st_quad, *xs):
     import jax
     import jax.numpy as jnp
 
+    if isinstance(xs[0], PackedIqChunk):
+        return _fused_fm_chunk_packed(plan, st_fir, st_quad, xs[0])
     taps, deci, gain = plan["taps"], plan["deci"], plan["gain"]
     ntaps = len(taps)
     if plan["f2c"] is not None:

@@ -550,7 +550,8 @@ def _prev_demod_carry(yr, yi, rows, gain, pr0, pi0):
     return jnp.float32(gain) * fast_atan2(di, dr)
 
 
-def _fm_chain_db_kernel(off_ref, xr_hbm, xi_hbm, w_ref, out_hbm,
+def _fm_chain_db_kernel(off_ref, row0_ref, seed_ref, xr_hbm, xi_hbm, w_ref,
+                        out_hbm,
                         in_s, out_s, in_sem, out_sem, *,
                         deci, nshift, nq, rows, g, hrows, gain,
                         precision, scales, tapsum):
@@ -562,12 +563,26 @@ def _fm_chain_db_kernel(off_ref, xr_hbm, xi_hbm, w_ref, out_hbm,
     Mosaic relayout or the tile+halo concat the grid-pipelined kernel
     does — the dots read the DMA'd buffer in place.  ``hrows`` here is
     the halo in FLATTENED rows (≥ nq, 8-aligned).
+
+    ``row0_ref`` (SMEM int32) offsets every input window by that many
+    packed rows: the windowed form (pallas_fm_chain_window) computes
+    just a chunk of the output grid from a RESIDENT packed ring with no
+    HBM slicing pass at all — the streaming Graph path's zero-copy
+    ingest (r5).  ``seed_ref`` (SMEM (2,) f32) seeds the cross-tile
+    demod carry (the previous chunk's last filtered sample, so chunked
+    launches compose into one continuous stream), and the final carry
+    is written to ``last_hbm`` for the next chunk.
     """
     rows_in = rows + hrows
 
     def in_dma(slot, i, plane, pref):
+        # the dynamic window offset MUST carry an alignment hint:
+        # without pl.multiple_of the Mosaic compile fails outright on
+        # this toolchain (r5 bisected).  Callers keep row0 8-row aligned
+        # (chunk grids are multiples of tile_rows >= 16).
         return pltpu.make_async_copy(
-            pref.at[pl.ds(i * rows, rows_in)],
+            pref.at[pl.ds(pl.multiple_of(row0_ref[0], 8) + i * rows,
+                          rows_in)],
             in_s.at[slot, plane],
             in_sem.at[slot, plane],
         )
@@ -625,7 +640,7 @@ def _fm_chain_db_kernel(off_ref, xr_hbm, xi_hbm, w_ref, out_hbm,
         out_dma(slot, i).start()
         return yr[rows - 1, 127], yi[rows - 1, 127]
 
-    jax.lax.fori_loop(0, g, body, (jnp.float32(0.0), jnp.float32(0.0)))
+    jax.lax.fori_loop(0, g, body, (seed_ref[0], seed_ref[1]))
 
     @pl.when(g >= 2)
     def _():
@@ -729,6 +744,85 @@ def fm_plane_pack(x, taps, deci: int, tile_rows: int | None = None,
     return xp.reshape(-1, step)
 
 
+def _fm_chain_weights(taps: np.ndarray, deci: int, precision: str):
+    """Shared weight-stack builder for the fused FM kernels: returns
+    (wlen, nshift, nq, wmat, scales) with the precision split applied."""
+    wlen, nshift, nq, w = _fir_band_weights(taps, deci)
+    scales = ()
+    if precision == "i8":
+        wcat, scales = _w_split_s8(w, 3)
+        wmat = jnp.asarray(wcat)
+    elif precision in ("w2", "w3"):
+        wmat = jnp.asarray(_w_split_bf16(w, 2 if precision == "w2" else 3))
+    else:
+        wmat = jnp.asarray(w)
+    return wlen, nshift, nq, wmat, scales
+
+
+def pallas_fm_chain_window(xpr, xpi, taps, deci: int, gain: float = 1.0, *,
+                           row0, g: int, tile_rows: int = 1024,
+                           precision: str = "w3", offset=0.0,
+                           seed=(0.0, 0.0)):
+    """The db FM kernel over a WINDOW of resident packed planes.
+
+    ``xpr``/``xpi`` — full packed planes (fm_plane_pack layout) living in
+    HBM; ``row0`` — traced int32 packed-row offset (= output-row offset:
+    one packed row is deci*128 inputs and 128 outputs), which MUST be a
+    multiple of 8 (the DMA index carries a pl.multiple_of hint — an
+    unhinted dynamic offset fails the Mosaic compile); ``g`` — static
+    tile count.  Computes output rows [row0, row0 + g*tile_rows) with NO
+    slicing/copy pass on the HBM side: the kernel's DMA reads the ring
+    in place at the offset (the r5 zero-copy streaming ingest).
+
+    Returns ``(audio, last)``: the flat (g*tile_rows*128,) demod stream
+    where element j is demod(y[row0*128 + j - 1], y[row0*128 + j]) with
+    the j=0 pair's left side taken from ``seed`` (pass the previous
+    chunk's carried filtered sample so chunked launches compose into one
+    continuous stream; at stream start the zero seed makes element 0
+    meaningless — drop it), and ``last`` = (2,) f32, this window's final
+    filtered sample for the next chunk's seed.  The window (incl. its
+    trailing halo rows) must lie within the packed planes.
+    """
+    taps = np.asarray(taps)
+    if np.iscomplexobj(taps):
+        taps = np.real(taps)
+    taps = taps.astype(np.float32)
+    wlen, nshift, nq, wmat, scales = _fm_chain_weights(taps, deci, precision)
+    nqp = nq + (-nq) % 8
+    step = deci * 128
+    tile_rows = max(tile_rows, nq)
+    tile_rows += (-tile_rows) % 16
+    tapsum = float(np.sum(taps, dtype=np.float64))
+    kern_db = functools.partial(
+        _fm_chain_db_kernel, deci=deci, nshift=nshift, nq=nq,
+        rows=tile_rows, g=g, hrows=nqp, gain=gain,
+        precision=precision, scales=scales, tapsum=tapsum,
+    )
+    off = jnp.asarray(offset, jnp.float32).reshape(1)
+    r0 = jnp.asarray(row0, jnp.int32).reshape(1)
+    audio = pl.pallas_call(
+        kern_db,
+        out_shape=jax.ShapeDtypeStruct((g * tile_rows, 128), jnp.float32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, tile_rows + nqp, step), xpr.dtype),
+            pltpu.VMEM((2, tile_rows, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=_INTERPRET,
+    )(off, r0, jnp.asarray(seed, jnp.float32).reshape(2), xpr, xpi, wmat)
+    return audio.reshape(-1)
+
+
 def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
                     tile_rows: int | None = None, offset=0.0,
                     precision: str = "highest", pipeline: str | None = None,
@@ -816,15 +910,7 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
             jnp.imag(d).astype(jnp.float32), jnp.real(d).astype(jnp.float32)
         )
 
-    wlen, nshift, nq, w = _fir_band_weights(taps, deci)
-    scales = ()
-    if int8_input:
-        wcat, scales = _w_split_s8(w, 3)
-        wmat = jnp.asarray(wcat)
-    elif exact_input:
-        wmat = jnp.asarray(_w_split_bf16(w, 2 if precision == "w2" else 3))
-    else:
-        wmat = jnp.asarray(w)
+    wlen, nshift, nq, wmat, scales = _fm_chain_weights(taps, deci, precision)
     if tile_rows is None:
         # largest tile that fits the 16 MB scoped-VMEM budget with double
         # buffering (measured: 1024 rows ~ 10 MB live, 2048 OOMs at f32;
@@ -862,6 +948,8 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
             out_shape=jax.ShapeDtypeStruct((g * tile_rows, 128), jnp.float32),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -874,7 +962,8 @@ def pallas_fm_chain(xr, xi, taps, deci: int, gain: float = 1.0,
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=_INTERPRET,
-        )(off, xpr, xpi, wmat)
+        )(off, jnp.zeros(1, jnp.int32), jnp.zeros(2, jnp.float32),
+          xpr, xpi, wmat)
         # cross-tile seams are fixed in-kernel (loop carry); the first
         # global output (zero history) is dropped below
         return audio.reshape(-1)[1:m]

@@ -297,3 +297,40 @@ def test_graph_fm_lowering_skips_tee_consumer(interpret_kernels):
     g.run()
     want = _demod_f64(_fir_valid_f64(data, taps, 2), 1.0)
     np.testing.assert_allclose(np.asarray(s1.data()), want, atol=3e-4)
+
+
+def test_packed_ring_device_loop(interpret_kernels):
+    # PackedIqRingSource -> FirFilter -> QuadratureDemod ->
+    # DeviceFoldSink through Graph.compile_device_loop: the zero-copy
+    # windowed kernel (row offset + seeded demod carry) over a resident
+    # packed ring must reproduce the composed valid chain exactly across
+    # chunk seams.
+    import jax.numpy as jnp
+
+    from rustradio_tpu import blocks
+    from rustradio_tpu.graph import Graph
+
+    rng = np.random.RandomState(11)
+    taps = (rng.randn(49) / 7).astype(np.float32)  # (49-1) % 4 == 0
+    deci, tile_rows = 4, 16
+    chunk = deci * 128 * tile_rows  # 8192
+    n = 2 * chunk
+    re = (np.round(np.clip(rng.randn(n) * 38, -128, 127)) / 128).astype(np.float32)
+    im = (np.round(np.clip(rng.randn(n) * 38, -128, 127)) / 128).astype(np.float32)
+
+    g = Graph()
+    src = g.add(blocks.PackedIqRingSource(re, im, taps, deci,
+                                          precision="w3", tile_rows=tile_rows))
+    fir = g.add(blocks.FirFilter(taps, deci=deci, precision="w3"), src)
+    q = g.add(blocks.QuadratureDemod(1.5), fir)
+    g.add(blocks.DeviceFoldSink(
+        fn=lambda c, x: c + jnp.sum(x) + jnp.sum(x * x)), q)
+    fn = g.compile_device_loop(chunk, 2)
+    got = float(list(fn(0).values())[0])
+
+    want_y = _fir_valid_f64(re + 1j * im, taps, deci)
+    want = _demod_f64(want_y, 1.5)
+    # emitted stream = the full valid demod stream (both chunks)
+    assert len(want) == n // deci - (len(taps) - 1) // deci - 1
+    ref = float(np.sum(want) + np.sum(want * want))
+    np.testing.assert_allclose(got, ref, rtol=2e-3)
