@@ -67,6 +67,11 @@ class VectorSource(SourceBlock):
         self.prepare_traced()
         return self._dev
 
+    def emit_period(self):
+        # the emit pattern repeats every len(data) samples: lets the
+        # device loop keep its traced offsets inside int32
+        return len(self.data)
+
     def emit_traced(self, offset, n, resident=None):
         """Traced emit for ``Graph.compile_device_loop``: ONE
         device-resident copy of the data (complex staged as f32 pairs —
@@ -283,6 +288,9 @@ class PackedIqRingSource(SourceBlock):
     def device_resident(self):
         self.prepare_traced()
         return (self._pr, self._pi)
+
+    def emit_period(self):
+        return len(self.i_plane)
 
     def emit_traced(self, offset, n, resident=None):
         import jax

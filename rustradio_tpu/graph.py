@@ -1583,7 +1583,26 @@ class Graph:
             if res is not None:
                 residents[node.idx] = res()
 
-        def step(states, carries, offset, res):
+        # per-source modular offsets: a raw offset0 + i*chunk overflows
+        # int32 within ~2^31 samples (a few hundred 16M chunks) and a
+        # negative DMA offset is a TPU backend error (r5 measured).  A
+        # source declaring emit_period() (its ring/vector length, which
+        # must be a chunk multiple here) gets its offset reduced mod the
+        # period with all intermediates < 2*period.
+        periods: dict[int, int] = {}
+        for node in self.nodes:
+            per = getattr(node.block, "emit_period", None)
+            if isinstance(node.block, SourceBlock) and per is not None:
+                p = per()
+                if p is not None:
+                    if p % chunk_size:
+                        raise ValueError(
+                            f"{node.block.name()} period {p} must be a "
+                            f"multiple of chunk_size for the device loop"
+                        )
+                    periods[node.idx] = p
+
+        def step(states, carries, offset0, i, res):
             vals: dict[tuple[int, int], Any] = {}
             new_states = dict(states)
             new_carries = dict(carries)
@@ -1600,6 +1619,12 @@ class Graph:
                             vals[k] = o
                     continue
                 if isinstance(b, SourceBlock):
+                    p = periods.get(node.idx)
+                    if p is not None:
+                        offset = jax.lax.rem(offset0, p) + jax.lax.rem(
+                            i, p // chunk_size) * chunk_size
+                    else:
+                        offset = offset0 + i * chunk_size
                     if node.idx in res:
                         out = b.emit_traced(offset, chunk_size,
                                             resident=res[node.idx])
@@ -1634,10 +1659,11 @@ class Graph:
             # chunk 0 unrolled: fixes lazily-typed state shapes (e.g.
             # QuadratureDemod's (0,) -> (1,) carried sample) so the scan
             # carry is shape-invariant
-            states, carries = step(states, carries, offset0, res)
+            states, carries = step(states, carries, offset0,
+                                   jnp.int32(0), res)
 
             def body(sc, i):
-                return step(sc[0], sc[1], offset0 + i * chunk_size, res), None
+                return step(sc[0], sc[1], offset0, i, res), None
 
             (states, carries), _ = jax.lax.scan(
                 body, (states, carries),
